@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship audio windowed-aggregate on sf0.001.
+``queries()`` maps every implemented operator to a (spark, sf_dir) callable;
+``oracle_sql()`` gives the DuckDB-equivalent SQL. Audio queries run over
+this repo's deterministic fixtures (generated lazily by
+``dataflow_geobeam_spark.fixtures.ensure_fixtures``); their oracles read the
+generation-time golden parquet — an independent decode of the same payloads.
 """
 
 from __future__ import annotations
@@ -13,26 +14,183 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+FIXTURES_SF001 = "/root/repo/fixtures/sf0.01"
+_GOLDEN = f"read_parquet('{FIXTURES_SF001}/golden_clips.parquet')"
+_CLIPS = f"read_parquet('{FIXTURES_SF001}/clips.parquet')"
+_TRANSCRIPTS = f"read_parquet('{FIXTURES_SF001}/transcripts_late.parquet')"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: valid clips -> vectorized decode ->
+    10 s tumbling event-time windows per clip_id-prefix bucket."""
+    from dataflow_geobeam_spark.plans import audio
+
+    return audio.audio_window_tumbling(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dataflow_geobeam_spark.plans import audio, relational
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- audio graft pipeline (SURVEY.md §2.3/§2.4) ---
+        "audio_window_tumbling": audio.audio_window_tumbling,
+        "audio_window_sliding": audio.audio_window_sliding,
+        "audio_window_session": audio.audio_window_session,
+        "audio_decode_validity": audio.audio_decode_validity,
+        "audio_clip_metrics": audio.audio_clip_metrics,
+        "audio_transcript_join": audio.audio_transcript_join,
+        "audio_codec_hourly": audio.audio_codec_hourly,
+        # --- relational operator coverage (SURVEY.md §2.4) ---
+        "tpch_q1_pricing_summary": relational.q1_pricing_summary_rounded,
+        "tpch_q6_forecast_revenue": relational.q6_rounded,
+        "tpch_q3_top_orders": relational.q3_rounded,
+        "tpch_q5_region_revenue": relational.q5_rounded,
+        "events_tumbling": relational.events_tumbling,
+        "top_customers": relational.top_customers_by_revenue,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "audio_window_tumbling": f"""
+            SELECT CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS window_start_s,
+                   bucket,
+                   CAST(count(*) AS BIGINT) AS n_clips,
+                   CAST(sum(dur_ms) AS BIGINT) AS sum_dur_ms,
+                   round(avg(rms), 6) AS mean_rms,
+                   CAST(sum(n_samples) AS BIGINT) AS sum_samples
+            FROM {_GOLDEN} WHERE valid
+            GROUP BY 1, 2
+        """,
+        "audio_window_sliding": f"""
+            WITH v AS (SELECT bucket, ts, dur_ms, rms FROM {_GOLDEN} WHERE valid),
+            w AS (
+              SELECT CAST(floor(epoch(ts)/5)*5 AS BIGINT) AS window_start_s,
+                     bucket, dur_ms, rms FROM v
+              UNION ALL
+              SELECT CAST(floor(epoch(ts)/5)*5 - 5 AS BIGINT) AS window_start_s,
+                     bucket, dur_ms, rms FROM v
+            )
+            SELECT window_start_s, bucket,
+                   CAST(count(*) AS BIGINT) AS n_clips,
+                   CAST(sum(dur_ms) AS BIGINT) AS sum_dur_ms,
+                   round(avg(rms), 6) AS mean_rms
+            FROM w GROUP BY 1, 2
+        """,
+        "audio_window_session": f"""
+            WITH v AS (SELECT bucket, ts, dur_ms FROM {_GOLDEN} WHERE valid),
+            s AS (
+              SELECT bucket, ts, dur_ms,
+                     CASE WHEN lag(ts) OVER (PARTITION BY bucket ORDER BY ts) IS NULL
+                               OR ts - lag(ts) OVER (PARTITION BY bucket ORDER BY ts)
+                                  >= INTERVAL 30 SECOND
+                          THEN 1 ELSE 0 END AS new_s
+              FROM v),
+            g AS (SELECT bucket, ts, dur_ms,
+                         sum(new_s) OVER (PARTITION BY bucket ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM s)
+            SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+                   bucket,
+                   CAST(count(*) AS BIGINT) AS n_clips,
+                   CAST(sum(dur_ms) AS BIGINT) AS sum_dur_ms
+            FROM g GROUP BY bucket, sid
+        """,
+        "audio_decode_validity": f"""
+            SELECT codec,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN decode_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_decode_ok,
+                   CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+            FROM {_GOLDEN} GROUP BY codec
+        """,
+        "audio_clip_metrics": f"""
+            SELECT clip_id, codec, n_samples,
+                   round(rms, 6) AS rms, round(peak, 6) AS peak
+            FROM {_GOLDEN} WHERE valid
+        """,
+        "audio_transcript_join": f"""
+            WITH tr AS (
+              SELECT DISTINCT t_clip_id, t_transcript, t_ts FROM {_TRANSCRIPTS}
+            )
+            SELECT c.clip_id,
+                   CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_s,
+                   c.transcript,
+                   tr.t_transcript,
+                   (tr.t_clip_id IS NOT NULL) AS matched
+            FROM (SELECT clip_id, transcript, ts FROM {_CLIPS}) c
+            LEFT JOIN tr ON tr.t_clip_id = c.clip_id
+                        AND tr.t_ts >= c.ts
+                        AND tr.t_ts <= c.ts + INTERVAL 5 MINUTE
+        """,
+        "audio_codec_hourly": f"""
+            SELECT CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS window_start_s,
+                   codec,
+                   CAST(count(*) AS BIGINT) AS n_clips,
+                   CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets,
+                   round(sum(rms), 6) AS sum_rms
+            FROM {_GOLDEN} WHERE valid GROUP BY 1, 2
+        """,
+        "tpch_q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1995-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q3_top_orders": """
+            SELECT l_orderkey,
+                   CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+        """,
+        "tpch_q5_region_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "events_tumbling": """
+            SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start_s,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(avg(value), 6) AS avg_value,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "top_customers": """
+            WITH rev AS (
+              SELECT o_custkey, sum(o_totalprice) AS revenue
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rank,
+                   c_custkey, c_name, round(revenue, 2) AS revenue
+            FROM rev JOIN customer ON o_custkey = c_custkey
+            QUALIFY rank <= 10
+        """,
+    }

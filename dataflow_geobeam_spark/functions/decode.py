@@ -1,0 +1,193 @@
+"""Vectorized codec->PCM decode (Arrow-batched, no per-row Python shipping).
+
+Graft analog of the reference's per-element reprojection+repair stage
+(``/root/reference/geobeam/fn.py:23-53`` ``make_valid``;
+``geobeam/io.py:124-127`` block reprojection), upgraded per the north rule:
+the reference runs one Python call per element (``beam.Map``); here each
+call handles an entire Arrow batch of clips.
+
+Implementation note (measured on this harness): for ~50 KB binary payloads,
+``mapInArrow`` moves data JVM->Python ~5x faster than the pandas-UDF path,
+because Arrow binary stays a zero-copy buffer instead of being re-boxed as
+Python ``bytes`` inside a pandas Series twice. The decode hot path therefore
+uses ``mapInArrow``; a pandas-UDF variant is kept for expression-position use.
+
+Two decode paths, mirroring the reference's speed-vs-detail source pair
+(RasterBlockSource "optimizes for pipeline speed" vs RasterPolygonSource
+"slower ... more rows", ``geobeam/io.py:35-37``, ``io.py:162-165``):
+
+* ``with_decoded_metrics`` — FAST path: decodes and immediately reduces to
+  scalar metrics (n_samples, rms, peak); PCM never enters the Spark plan, so
+  windowed aggregates shuffle ~50 bytes/row instead of ~50 KB.
+* ``with_decoded_pcm`` — DETAIL path: materializes ``pcm array<float>`` for
+  per-sample work (frame explode, SNR checks, feature extraction).
+
+Failure semantics: malformed payload or unknown codec => ``decode_ok=false``
+(nulled metrics) instead of a task failure — the analog of ``make_valid``
+returning ``None`` + ``filter_invalid`` dropping it (``geobeam/fn.py:56-88``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+METRIC_FIELDS = [
+    StructField("decode_ok", BooleanType()),
+    StructField("sr_decoded", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("rms", DoubleType()),
+    StructField("peak", DoubleType()),
+]
+DECODE_METRICS_TYPE = StructType(METRIC_FIELDS)
+
+_METRIC_ARROW = {
+    "decode_ok": pa.bool_(),
+    "sr_decoded": pa.int32(),
+    "n_samples": pa.int64(),
+    "rms": pa.float64(),
+    "peak": pa.float64(),
+}
+
+
+def _decode_batch_metrics(bufs, codec_values):
+    """Shared per-batch decode kernel -> dict of numpy metric arrays.
+
+    Heavy imports stay worker-side (lazy-import precedent,
+    ``geobeam/io.py:68-70``)."""
+    from dataflow_geobeam_spark.fixtures import codecs
+    from dataflow_geobeam_spark.fixtures.audio_synth import pcm_metrics
+
+    n = len(bufs)
+    ok = np.zeros(n, dtype=bool)
+    sr = np.zeros(n, dtype=np.int32)
+    ns = np.zeros(n, dtype=np.int64)
+    rms = np.zeros(n, dtype=np.float64)
+    peak = np.zeros(n, dtype=np.float64)
+    for idx in range(n):
+        try:
+            pcm, sr_hz = codecs.decode(bufs[idx], codec_values[idx])
+            ns[idx], rms[idx], peak[idx] = pcm_metrics(pcm)
+            sr[idx] = sr_hz
+            ok[idx] = True
+        except Exception:  # noqa: BLE001 - any decode failure => invalid row
+            ok[idx] = False
+    return {"decode_ok": ok, "sr_decoded": sr, "n_samples": ns, "rms": rms, "peak": peak}
+
+
+def _binary_views(col: pa.Array) -> list:
+    """Zero-copy memoryviews into an Arrow binary array (None for nulls)."""
+    if isinstance(col, pa.ChunkedArray):  # pragma: no cover - batches are flat
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[col.offset : col.offset + len(col) + 1]
+    values = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    nulls = col.is_null().to_numpy(zero_copy_only=False) if col.null_count else None
+    out = []
+    for j in range(len(col)):
+        if nulls is not None and nulls[j]:
+            out.append(None)
+        else:
+            out.append(values[offs[j] : offs[j + 1]])
+    return out
+
+
+def with_decoded_metrics(
+    df: DataFrame, bytes_col: str = "bytes", codec_col: str = "codec", drop_bytes: bool = True
+) -> DataFrame:
+    """Append decode_ok/sr_decoded/n_samples/rms/peak via mapInArrow.
+
+    ``drop_bytes=True`` prunes the binary payload in the same pass, so
+    downstream shuffles move metrics, not megabytes (column-pruning analog
+    of the reference's band-subset reads, ``geobeam/io.py:129-132``).
+    """
+    in_schema = df.schema
+    keep = [f for f in in_schema.fields if not (drop_bytes and f.name == bytes_col)]
+    out_schema = StructType(keep + METRIC_FIELDS)
+    keep_names = [f.name for f in keep]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            names = batch.schema.names
+            bufs = _binary_views(batch.column(names.index(bytes_col)))
+            codec_vals = batch.column(names.index(codec_col)).to_pylist()
+            metrics = _decode_batch_metrics(bufs, codec_vals)
+            arrays = [batch.column(names.index(n)) for n in keep_names]
+            arrays += [pa.array(v, type=_METRIC_ARROW[k]) for k, v in metrics.items()]
+            yield pa.RecordBatch.from_arrays(arrays, names=keep_names + list(metrics))
+
+    return df.mapInArrow(fn, out_schema)
+
+
+def with_decoded_pcm(
+    df: DataFrame, bytes_col: str = "bytes", codec_col: str = "codec", drop_bytes: bool = True
+) -> DataFrame:
+    """Append ``pcm array<float>`` (detail path) via mapInArrow."""
+    in_schema = df.schema
+    keep = [f for f in in_schema.fields if not (drop_bytes and f.name == bytes_col)]
+    out_schema = StructType(keep + [StructField("pcm", ArrayType(FloatType()))])
+    keep_names = [f.name for f in keep]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from dataflow_geobeam_spark.fixtures import codecs
+
+        for batch in batches:
+            names = batch.schema.names
+            bufs = _binary_views(batch.column(names.index(bytes_col)))
+            codec_vals = batch.column(names.index(codec_col)).to_pylist()
+            pcms = []
+            for buf, c in zip(bufs, codec_vals):
+                try:
+                    pcm, _ = codecs.decode(buf, c)
+                    pcms.append(pcm)
+                except Exception:  # noqa: BLE001
+                    pcms.append(None)
+            arrays = [batch.column(names.index(n)) for n in keep_names]
+            arrays.append(pa.array(pcms, type=pa.list_(pa.float32())))
+            yield pa.RecordBatch.from_arrays(arrays, names=keep_names + ["pcm"])
+
+    return df.mapInArrow(fn, out_schema)
+
+
+@pandas_udf(DECODE_METRICS_TYPE)
+def decode_metrics_struct(data: pd.Series, codec: pd.Series) -> pd.DataFrame:
+    """Expression-position variant (pandas UDF). Slower than the mapInArrow
+    path for large payloads; kept for composability inside select()."""
+    metrics = _decode_batch_metrics(list(data.values), list(codec.values))
+    return pd.DataFrame(metrics)
+
+
+@pandas_udf(ArrayType(FloatType()))
+def decode_pcm_array(data: pd.Series, codec: pd.Series) -> pd.Series:
+    """Expression-position PCM decode; malformed rows -> null."""
+    from dataflow_geobeam_spark.fixtures import codecs
+
+    out = []
+    for buf, c in zip(data.values, codec.values):
+        try:
+            pcm, _ = codecs.decode(buf, c)
+            out.append(pcm)
+        except Exception:  # noqa: BLE001
+            out.append(None)
+    return pd.Series(out)
+
+
+def expected_samples(sr_col: Column, dur_col: Column) -> Column:
+    """Expected sample count from declared (sr_hz, dur_ms) — pure Catalyst."""
+    return sr_col.cast("double") * dur_col.cast("double") / F.lit(1000.0)

@@ -1,0 +1,150 @@
+"""Audio-domain queries (the graft's flagship pipeline, batch form).
+
+Each mirrors the reference's canonical pipeline shape
+read -> normalize -> filter -> format -> sink
+(``/root/reference/geobeam/examples/shapefile_nfhl.py:36-49``) with the
+north rule's windowed-aggregate stage added. Batch and streaming share these
+plan fragments; the streaming module wraps them with watermark + sink.
+
+Column-naming contract: every computed column is aliased identically to the
+DuckDB oracle SQL in ``__spark_entry__.oracle_sql`` (driver hashes by sorted
+column name). Window starts are emitted as epoch SECONDS (long) rather than
+timestamps so the hash is timezone-free on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataflow_geobeam_spark.fixtures import ensure_fixtures
+from dataflow_geobeam_spark.functions.decode import with_decoded_metrics
+from dataflow_geobeam_spark.functions.validity import (
+    filter_invalid,
+    precheck_predicate,
+    valid_clip_predicate,
+)
+from dataflow_geobeam_spark.operators import windows
+from dataflow_geobeam_spark.sources.clips import read_clips, read_transcripts
+from dataflow_geobeam_spark.util import epoch_seconds
+
+
+def decoded_valid_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared prefix: scan -> cheap precheck -> vectorized decode -> validity.
+
+    The precheck runs BEFORE the decode UDF so rows with unknown codecs or
+    null payloads never cross the JVM->Python boundary (nodata-mask analog,
+    ``geobeam/io.py:224,235``)."""
+    fx = ensure_fixtures(sf_dir)
+    df = read_clips(spark, fx).where(precheck_predicate())
+    return filter_invalid(with_decoded_metrics(df))
+
+
+def audio_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: per clip_id-prefix bucket, per 10 s tumbling event-time
+    window: clip count, total duration, mean RMS, total samples."""
+    agg = windows.tumbling(decoded_valid_clips(spark, sf_dir), "10 seconds", keys=("bucket",))
+    return agg.select(
+        epoch_seconds("window_start").alias("window_start_s"),
+        "bucket",
+        "n_clips",
+        "sum_dur_ms",
+        F.round("mean_rms", 6).alias("mean_rms"),
+        "sum_samples",
+    )
+
+
+def audio_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10s/5s windows — each row contributes to exactly two windows."""
+    agg = windows.sliding(
+        decoded_valid_clips(spark, sf_dir), "10 seconds", "5 seconds", keys=("bucket",)
+    )
+    return agg.select(
+        epoch_seconds("window_start").alias("window_start_s"),
+        "bucket",
+        "n_clips",
+        "sum_dur_ms",
+        F.round("mean_rms", 6).alias("mean_rms"),
+    )
+
+
+def audio_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30 s gap, keyed by bucket."""
+    agg = windows.session(decoded_valid_clips(spark, sf_dir), "30 seconds", keys=("bucket",))
+    return agg.select(
+        epoch_seconds("window_start").alias("session_start_s"),
+        "bucket",
+        "n_clips",
+        "sum_dur_ms",
+    )
+
+
+def audio_decode_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-codec decode/validity census — exercises the full decode registry
+    including unknown codecs + corrupt payloads (make_valid/filter_invalid
+    analytics, ``geobeam/fn.py:23-88``). No precheck: every row is decoded."""
+    fx = ensure_fixtures(sf_dir)
+    df = with_decoded_metrics(read_clips(spark, fx))
+    return df.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decode_ok"),
+        F.sum(valid_clip_predicate().cast("long")).alias("n_valid"),
+    )
+
+
+def audio_clip_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level decode parity: per valid clip, its decoded metrics.
+
+    This is the per-row invariant surface (decoded metrics equality against
+    the generation-time oracle) expressed as a hashable result set."""
+    df = decoded_valid_clips(spark, sf_dir)
+    return df.select(
+        "clip_id",
+        "codec",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+    )
+
+
+def audio_transcript_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the clip<->late-transcript interval join: a transcript
+    matches iff it arrives within [ts, ts + 5 min] of its clip's event time.
+    The streaming form adds watermarks on both sides (streaming/join.py)."""
+    fx = ensure_fixtures(sf_dir)
+    clips = read_clips(spark, fx, columns=("clip_id", "transcript", "ts"))
+    tr = read_transcripts(spark, fx).dropDuplicates(["t_clip_id", "t_ts"])
+    joined = clips.join(
+        tr,
+        (F.col("clip_id") == F.col("t_clip_id"))
+        & (F.col("t_ts") >= F.col("ts"))
+        & (F.col("t_ts") <= F.col("ts") + F.expr("interval 5 minutes")),
+        "left",
+    )
+    return joined.select(
+        "clip_id",
+        epoch_seconds("ts").alias("ts_s"),
+        "transcript",
+        "t_transcript",
+        F.col("t_clip_id").isNotNull().alias("matched"),
+    )
+
+
+def audio_codec_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarser rollup: per codec per 1-min window, distinct buckets + stats."""
+    df = decoded_valid_clips(spark, sf_dir)
+    return (
+        df.groupBy(F.window("ts", "1 minute"), "codec")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.countDistinct("bucket").alias("n_buckets"),
+            F.round(F.sum("rms"), 6).alias("sum_rms"),
+        )
+        .select(
+            epoch_seconds(F.col("window.start")).alias("window_start_s"),
+            "codec",
+            "n_clips",
+            "n_buckets",
+            "sum_rms",
+        )
+    )

@@ -1,0 +1,195 @@
+"""Relational queries over the driver's TPC-H-ish testdata tables.
+
+The reference performs zero relational work in-engine (delegated to BigQuery,
+``/root/reference/geobeam/io.py:35-37``); the target engine provides it via
+Catalyst. These queries exercise the operator classes the north rule adds
+(hash aggregate, joins with broadcast of small dims, windowed event-time agg,
+top-k ranking) and serve as plan-quality references: each is written so the
+optimized plan shows pushed filters, pruned columns, broadcast joins for the
+small dimensions, and partial aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataflow_geobeam_spark.util import epoch_seconds
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy partial+final hash aggregate.
+
+    Plan expectations: shipdate filter pushed to parquet (PushedFilters),
+    only 8 of 11 lineitem columns read (ReadSchema), HashAggregate with
+    map-side partial combine before the 6-group shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+global agg; every predicate must
+    reach the parquet reader."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> broadcast join -> agg.
+
+    customer is tiny (SF*150 rows): Spark should broadcast it; we assert the
+    intent with an explicit hint so the plan survives stat misestimates at
+    100 TB lineitem scale.
+    """
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("o_orderkey", "o_orderdate")
+            .where(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .where(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: multi-way join with two broadcastable dims."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dims, orders.o_custkey == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window over the events stream table (batch form —
+    the identical fragment runs under readStream + watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            epoch_seconds(F.col("window.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "avg_value",
+            "n_users",
+        )
+    )
+
+
+def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-distinct variant (HLL++): the scale path — one pass, no
+    distinct expansion. No SQL oracle (algorithm-specific estimates);
+    driver records a rows-only check."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+# --- rounded wrappers: stabilize double aggregates for cross-engine hashing ---
+
+
+def q1_pricing_summary_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = q1_pricing_summary(spark, sf_dir)
+    return df.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_base_price", 2).alias("sum_base_price"),
+        F.round("sum_disc_price", 2).alias("sum_disc_price"),
+        F.round("sum_charge", 2).alias("sum_charge"),
+        F.round("avg_qty", 6).alias("avg_qty"),
+        F.round("avg_price", 6).alias("avg_price"),
+        F.round("avg_disc", 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def q6_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q6_forecast_revenue(spark, sf_dir).select(F.round("revenue", 2).alias("revenue"))
+
+
+def q3_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = q3_top_orders(spark, sf_dir)
+    return df.select(
+        "l_orderkey",
+        epoch_seconds("o_orderdate").alias("o_orderdate_s"),
+        F.round("revenue", 2).alias("revenue"),
+    )
+
+
+def q5_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q5_region_revenue(spark, sf_dir).select(
+        "n_name", F.round("revenue", 2).alias("revenue")
+    )
+
+
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Ranking/top-k: window function over an aggregate (north-rule QA query)."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    joined = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey).select(
+        "c_custkey", "c_name", "revenue"
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "c_custkey", "c_name", F.round("revenue", 2).alias("revenue"))
+    )

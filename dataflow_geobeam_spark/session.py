@@ -1,0 +1,60 @@
+"""SparkSession construction with engine-tuned defaults.
+
+The reference configures its runner per-pipeline via ``PipelineOptions``
+(``geobeam/examples/shapefile_nfhl.py:32-34``); here the engine owns one
+session factory with scale-aware defaults:
+
+* AQE on (runtime re-plan, skew-join splitting) — the Spark answer to Beam's
+  dynamic work rebalancing (``geobeam/io.py:466-469``).
+* Arrow batches capped so ~100 KB binary audio payloads never blow the
+  Python-worker heap (analog of the reference's native-block windowed raster
+  reads, ``geobeam/io.py:79-81``): 256 rows/batch keeps a batch ~25 MB.
+* UTC session timezone so event-time windows hash identically across engines.
+* Shuffle partitions sized for the local harness; on a real cluster AQE
+  coalesces, so a higher static number is safe.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+ARROW_MAX_RECORDS_PER_BATCH = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "256"))
+
+
+def get_spark(
+    app_name: str = "dataflow-geobeam-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``);
+    on a real cluster pass ``None`` with spark-submit supplying the master.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS_PER_BATCH))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
