@@ -83,7 +83,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT bucket, ts, dur_ms,
                      CASE WHEN lag(ts) OVER (PARTITION BY bucket ORDER BY ts) IS NULL
                                OR ts - lag(ts) OVER (PARTITION BY bucket ORDER BY ts)
-                                  >= INTERVAL 30 SECOND
+                                  > INTERVAL 30 SECOND
                           THEN 1 ELSE 0 END AS new_s
               FROM v),
             g AS (SELECT bucket, ts, dur_ms,

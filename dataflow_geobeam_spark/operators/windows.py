@@ -21,16 +21,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-STANDARD_AGGS = (
-    F.count(F.lit(1)).alias("n_clips"),
-    F.sum(F.col("dur_ms").cast("long")).alias("sum_dur_ms"),
-    F.avg("rms").alias("mean_rms"),
-    F.max("peak").alias("max_peak"),
-    F.sum("n_samples").alias("sum_samples"),
-)
+def standard_aggs():
+    """Default metric aggregates (built lazily: Column exprs need a session)."""
+    return (
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.col("dur_ms").cast("long")).alias("sum_dur_ms"),
+        F.avg("rms").alias("mean_rms"),
+        F.max("peak").alias("max_peak"),
+        F.sum("n_samples").alias("sum_samples"),
+    )
 
 
 def _finish(grouped, aggs, flat_window: bool) -> DataFrame:
+    aggs = aggs if aggs is not None else standard_aggs()
     out = grouped.agg(*aggs)
     if flat_window:
         wcol = "session_window" if "session_window" in out.columns else "window"
@@ -47,7 +50,7 @@ def tumbling(
     duration: str = "10 seconds",
     keys: tuple[str, ...] = ("bucket",),
     ts_col: str = "ts",
-    aggs=STANDARD_AGGS,
+    aggs=None,
     flat_window: bool = True,
 ) -> DataFrame:
     """groupBy(window(ts, d), *keys).agg(...) — fixed, non-overlapping."""
@@ -60,7 +63,7 @@ def sliding(
     slide: str = "5 seconds",
     keys: tuple[str, ...] = ("bucket",),
     ts_col: str = "ts",
-    aggs=STANDARD_AGGS,
+    aggs=None,
     flat_window: bool = True,
 ) -> DataFrame:
     """Overlapping windows: each row lands in duration/slide windows."""
@@ -72,7 +75,7 @@ def session(
     gap: str = "30 seconds",
     keys: tuple[str, ...] = ("bucket",),
     ts_col: str = "ts",
-    aggs=STANDARD_AGGS,
+    aggs=None,
     flat_window: bool = True,
 ) -> DataFrame:
     """Data-driven session windows: a session closes after ``gap`` of silence
