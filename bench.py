@@ -1,0 +1,95 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology:
+* Each query materializes via the `noop` sink (full computation, no
+  collect-to-driver skew).
+* One small warmup query first (spawns the Python-worker pool + JIT): the
+  numbers measure the engine, not process bootstrap — matching how a
+  long-running cluster actually behaves.
+* `clips_per_sec` reports the flagship decode->window throughput, the
+  BASELINE.json headline metric. Scaling evidence (local[8] vs local[32])
+  is produced separately by tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BENCH_QUERIES = [
+    "audio_window_tumbling",
+    "audio_window_sliding",
+    "audio_window_session",
+    "audio_clip_metrics",
+    "audio_transcript_join",
+    "audio_codec_hourly",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
+    "events_tumbling",
+    "top_customers",
+]
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from dataflow_geobeam_spark.fixtures import ensure_fixtures
+    from dataflow_geobeam_spark.fixtures.generate import rows_for_sf, sf_from_dir
+    from dataflow_geobeam_spark.session import get_spark
+
+    sf = sf_from_dir(SF_DIR)
+    fx = ensure_fixtures(SF_DIR)
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+
+    # warmup: spawn python workers + JIT on a tiny decode (sf-independent)
+    from dataflow_geobeam_spark.functions.decode import with_decoded_metrics
+
+    warm = spark.read.parquet(os.path.join(fx, "clips.parquet")).limit(512)
+    materialize(with_decoded_metrics(warm))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        materialize(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    n_clips = rows_for_sf(sf)
+    flagship = timings.get("audio_window_tumbling", float("nan"))
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "total_headline_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "clips_per_sec": round(n_clips / flagship, 1) if flagship else None,
+        "n_clips": n_clips,
+        "cpus": int(CPUS),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,207 @@
+"""Stateful clip <-> late-transcript stream-stream join.
+
+Two implementations per SURVEY.md §7 M4 (north_star names both):
+
+1. ``interval_join_streams`` — Spark's built-in watermarked stream-stream
+   interval join: a transcript matches iff it arrives within
+   ``[ts, ts + join_window]`` of its clip's event time. State eviction is
+   driven by the two watermarks; Catalyst handles it, zero custom code.
+
+2. ``stateful_join_apply`` — the flatMapGroupsWithState-style path via
+   ``applyInPandasWithState``: both streams are unioned into one keyed
+   stream; per-clip state buffers the clip row and pending transcripts;
+   an event-time timeout (watermark-driven) evicts state and emits the
+   clip UNMATCHED if no transcript arrived inside the join window. This is
+   the only custom stateful code in the engine, and exists because the
+   built-in join cannot emit timeout-driven unmatched-left rows with custom
+   eviction policy.
+
+Precedent: the reference's streaming stage keeps per-DoFn state only as an
+init-time cached CRS (``streaming_pubsub.py:24-26``); true keyed state is new
+surface the north rule adds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+JOIN_WINDOW_SECONDS = 300  # transcript valid within [ts, ts + 5 min]
+
+JOIN_OUT_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("transcript", StringType()),
+        StructField("t_transcript", StringType()),
+        StructField("matched", BooleanType()),
+    ]
+)
+
+# state: the clip row (if seen) + earliest in-window transcript (if seen)
+STATE_SCHEMA = StructType(
+    [
+        StructField("clip_ts_us", LongType()),
+        StructField("transcript", StringType()),
+        StructField("t_ts_us", LongType()),
+        StructField("t_transcript", StringType()),
+        StructField("emitted", BooleanType()),
+    ]
+)
+
+
+def interval_join_streams(
+    clips: DataFrame,
+    transcripts: DataFrame,
+    clip_watermark: str = "2 minutes",
+    transcript_watermark: str = "2 minutes",
+    join_window: str = "5 minutes",
+) -> DataFrame:
+    """Built-in watermarked interval join (inner: matched pairs only).
+
+    State bound: clips kept until watermark passes ``ts + join_window``;
+    transcripts until their watermark passes ``t_ts`` — Spark derives both
+    from the join condition, so state is self-evicting at any scale.
+    """
+    c = clips.withWatermark("ts", clip_watermark)
+    t = transcripts.withWatermark("t_ts", transcript_watermark)
+    return c.join(
+        t,
+        F.expr(
+            f"""
+            clip_id = t_clip_id
+            AND t_ts >= ts
+            AND t_ts <= ts + interval {join_window}
+            """
+        ),
+        "inner",
+    ).select(
+        "clip_id",
+        "ts",
+        "transcript",
+        "t_transcript",
+        F.lit(True).alias("matched"),
+    )
+
+
+def _stateful_join_fn(
+    key: tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-clip_id state machine.
+
+    Input rows are the union stream: side='c' carries (ts, transcript);
+    side='t' carries (t_ts, t_transcript). Emits exactly one output row per
+    clip: matched as soon as both sides are present and in-window, else
+    unmatched at event-time timeout (watermark passed ts + join window).
+    """
+    import pandas as pd  # noqa: PLC0415 - worker-side import
+
+    us = 1_000_000
+    if state.exists:
+        clip_ts_us, transcript, t_ts_us, t_transcript, emitted = state.get
+    else:
+        clip_ts_us, transcript, t_ts_us, t_transcript, emitted = None, None, None, None, False
+
+    if state.hasTimedOut:
+        out = None
+        if clip_ts_us is not None and not emitted:
+            out = pd.DataFrame(
+                {
+                    "clip_id": [key[0]],
+                    "ts": [pd.Timestamp(clip_ts_us, unit="us")],
+                    "transcript": [transcript],
+                    "t_transcript": [None],
+                    "matched": [False],
+                }
+            )
+        state.remove()
+        if out is not None:
+            yield out
+        return
+
+    for pdf in pdfs:
+        for row in pdf.itertuples(index=False):
+            if row.side == "c" and clip_ts_us is None:
+                clip_ts_us = int(pd.Timestamp(row.ts).value // 1000)
+                transcript = row.transcript
+            elif row.side == "t":
+                cand_us = int(pd.Timestamp(row.ts).value // 1000)
+                # keep the earliest transcript (deterministic under re-order)
+                if t_ts_us is None or cand_us < t_ts_us:
+                    t_ts_us = cand_us
+                    t_transcript = row.transcript
+
+    if (
+        not emitted
+        and clip_ts_us is not None
+        and t_ts_us is not None
+        and clip_ts_us <= t_ts_us <= clip_ts_us + JOIN_WINDOW_SECONDS * us
+    ):
+        emitted = True
+        yield pd.DataFrame(
+            {
+                "clip_id": [key[0]],
+                "ts": [pd.Timestamp(clip_ts_us, unit="us")],
+                "transcript": [transcript],
+                "t_transcript": [t_transcript],
+                "matched": [True],
+            }
+        )
+
+    state.update((clip_ts_us, transcript, t_ts_us, t_transcript, emitted))
+    anchor_us = clip_ts_us if clip_ts_us is not None else t_ts_us
+    if anchor_us is not None:
+        # evict when the watermark passes the end of the join window; for
+        # already-late rows clamp forward — Spark rejects timeouts behind
+        # the current watermark
+        desired_ms = anchor_us // 1000 + JOIN_WINDOW_SECONDS * 1000 + 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(desired_ms, wm_ms + 1000))
+
+
+def stateful_join_apply(
+    clips: DataFrame,
+    transcripts: DataFrame,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """applyInPandasWithState clip<->transcript join with timeout eviction.
+
+    Union-tag pattern: both sides are normalized to
+    (clip_id, side, ts, transcript) and grouped by clip_id; the state
+    machine emits matched rows eagerly and unmatched clips at timeout.
+    """
+    c = clips.select(
+        F.col("clip_id"),
+        F.lit("c").alias("side"),
+        F.col("ts"),
+        F.col("transcript"),
+    )
+    t = transcripts.select(
+        F.col("t_clip_id").alias("clip_id"),
+        F.lit("t").alias("side"),
+        F.col("t_ts").alias("ts"),
+        F.col("t_transcript").alias("transcript"),
+    )
+    unioned = c.unionByName(t).withWatermark("ts", watermark)
+    return unioned.groupBy("clip_id").applyInPandasWithState(
+        _stateful_join_fn,
+        outputStructType=JOIN_OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
