@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from dataflow_geobeam_spark.plans import audio, relational
+    from dataflow_geobeam_spark.plans import audio, relational, training_data
 
     return {
         # --- audio graft pipeline (SURVEY.md §2.3/§2.4) ---
@@ -46,7 +46,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_top_orders": relational.q3_rounded,
         "tpch_q5_region_revenue": relational.q5_rounded,
         "events_tumbling": relational.events_tumbling,
+        "events_approx_users": relational.events_approx_users,
         "top_customers": relational.top_customers_by_revenue,
+        # --- training-data ops: text analysis ---
+        "doc_token_stats": training_data.doc_token_stats,
+        "doc_quality": training_data.doc_quality,
+        "doc_langid": training_data.doc_langid,
+        "doc_fingerprint": training_data.doc_fingerprint,
+        # --- training-data ops: dedup family ---
+        "dedup_exact_transcripts": training_data.dedup_exact_transcripts,
+        "dedup_minhash_signature": training_data.dedup_minhash_signature,
+        "dedup_minhash_pairs": training_data.dedup_minhash_pairs,
+        "dedup_ngram_jaccard": training_data.dedup_ngram_jaccard,
+        "dedup_simhash_pairs": training_data.dedup_simhash_pairs,
+        # --- training-data ops: similarity search ---
+        "emb_topk_bruteforce": training_data.emb_topk_bruteforce,
+        "emb_topk_lsh": training_data.emb_topk_lsh,
+        "emb_label_centroids": training_data.emb_label_centroids,
     }
 
 
@@ -188,9 +204,161 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_custkey, sum(o_totalprice) AS revenue
               FROM orders GROUP BY o_custkey
             )
-            SELECT CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rank,
+            SELECT CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS INTEGER) AS rank,
                    c_custkey, c_name, round(revenue, 2) AS revenue
             FROM rev JOIN customer ON o_custkey = c_custkey
             QUALIFY rank <= 10
+        """,
+        # --- training-data ops ---------------------------------------------
+        "doc_token_stats": f"""
+            WITH d AS (
+              SELECT lang, n_chars,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+                   round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+                   round(avg(CASE WHEN len(toks) = 0 THEN 0.0
+                             ELSE len(list_distinct(toks))::DOUBLE / len(toks) END), 6)
+                       AS avg_uniq_ratio
+            FROM d GROUP BY lang
+        """,
+        "doc_quality": """
+            WITH d AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_distinct(toks))::DOUBLE / len(toks) END AS uniq,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+                               / length(text) END AS alpha
+              FROM d
+            )
+            SELECT doc_id, n_tokens,
+                   round(uniq, 6) AS uniq_ratio,
+                   round(alpha, 6) AS alpha_ratio,
+                   round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0
+                               WHEN n_tokens > 0 THEN 0.5 ELSE 0.0 END)
+                         * uniq * alpha, 6) AS quality
+            FROM f
+        """,
+        "doc_langid": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, list_max([
+                {'votes': CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ein','nicht'], lower(x)))) AS BIGINT), 'lang': 'de'},
+                {'votes': CAST(len(list_filter(toks, x -> list_contains(['the','and','of','a','to','is'], lower(x)))) AS BIGINT), 'lang': 'en'},
+                {'votes': CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','los','una'], lower(x)))) AS BIGINT), 'lang': 'es'},
+                {'votes': CAST(len(list_filter(toks, x -> list_contains(['le','la','et','les','des','une'], lower(x)))) AS BIGINT), 'lang': 'fr'},
+                {'votes': CAST(len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','you3','wo3'], lower(x)))) AS BIGINT), 'lang': 'zh'}
+              ]) AS best
+              FROM d
+            )
+            SELECT doc_id, best.lang AS pred_lang, best.votes AS votes FROM v
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || '#0'
+                   ), 1, 15)) AS BIGINT) AS fingerprint
+            FROM documents
+        """,
+        "dedup_exact_transcripts": f"""
+            SELECT t_clip_id AS clip_id, CAST(count(*) AS BIGINT) AS n_copies
+            FROM {_TRANSCRIPTS}
+            GROUP BY t_clip_id, t_transcript, t_ts
+            HAVING count(*) > 1
+        """,
+        "dedup_minhash_signature": """
+            WITH docs AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE trim(text) <> ''
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+              FROM docs WHERE len(toks) >= 3
+            )
+            SELECT doc_id,
+                   list_min(list_transform(shingles, s -> CAST(('0x' || substring(md5(s || '#0'), 1, 15)) AS BIGINT))) AS mh0,
+                   list_min(list_transform(shingles, s -> CAST(('0x' || substring(md5(s || '#1'), 1, 15)) AS BIGINT))) AS mh1,
+                   list_min(list_transform(shingles, s -> CAST(('0x' || substring(md5(s || '#2'), 1, 15)) AS BIGINT))) AS mh2,
+                   list_min(list_transform(shingles, s -> CAST(('0x' || substring(md5(s || '#3'), 1, 15)) AS BIGINT))) AS mh3
+            FROM sh WHERE len(shingles) > 0
+        """,
+        "dedup_minhash_pairs": """
+            WITH docs AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE trim(text) <> ''
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+              FROM docs WHERE len(toks) >= 3
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                         / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+        """,
+        "dedup_ngram_jaccard": """
+            WITH docs AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE trim(text) <> ''
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+              FROM docs WHERE len(toks) >= 3
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                         / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+        """,
+        "emb_topk_bruteforce": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 20
+            ),
+            c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+            s AS (
+              SELECT query_id, neighbor_id,
+                     round(list_cosine_similarity(qv, cv), 6) AS cosine
+              FROM q JOIN c ON query_id <> neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+            FROM s QUALIFY rank <= 5
+        """,
+        "emb_label_centroids": """
+            WITH e AS (SELECT label, unnest(embedding) AS v FROM embeddings)
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n_values,
+                   round(sqrt(sum(CAST(v AS DOUBLE) * v)), 6) AS frobenius,
+                   round(avg(CAST(v AS DOUBLE)), 9) AS mean_component
+            FROM e GROUP BY label
         """,
     }

@@ -1,0 +1,60 @@
+"""Deterministic per-clip PCM synthesis (seeded sum-of-sines + noise).
+
+Every clip's waveform is a pure function of its integer index ``i`` and the
+global seed, so fixtures regenerate bit-identically on any machine — the
+in-repo analog of the reference's fixed public GCS fixtures
+(``/root/reference/cloudbuild.yaml:63-89``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SEED = 42
+
+
+def synth_pcm(i: int, sr_hz: int, dur_ms: int) -> np.ndarray:
+    """Render clip ``i``: 3 seeded sines + Gaussian noise, amplitude <= 0.8.
+
+    Returns float32 PCM in [-1, 1], length ``round(sr_hz * dur_ms / 1000)``.
+    """
+    n = int(round(sr_hz * dur_ms / 1000.0))
+    rng = np.random.default_rng([SEED, i])
+    t = np.arange(n, dtype=np.float64) / float(sr_hz)
+    pcm = np.zeros(n, dtype=np.float64)
+    for k in range(3):
+        freq = 80.0 + float(rng.integers(0, 3000))
+        phase = float(rng.uniform(0.0, 2.0 * np.pi))
+        amp = 0.15 + 0.1 * float(rng.uniform())
+        pcm += amp * np.sin(2.0 * np.pi * freq * t + phase)
+    pcm += 0.02 * rng.standard_normal(n)
+    peak = np.max(np.abs(pcm)) if n else 1.0
+    if peak > 0:
+        pcm *= 0.8 / max(peak, 0.8)
+    return np.clip(pcm, -1.0, 1.0).astype(np.float32)
+
+
+def pcm_metrics(pcm: np.ndarray) -> tuple[int, float, float]:
+    """(n_samples, rms, peak) computed in float64 — the shared metric kernel.
+
+    Both the oracle generator and the engine's decode UDF call this exact
+    function, so per-row metric values are bit-identical and any mismatch
+    in the correctness gate isolates to the pipeline, not the math.
+    """
+    n = int(pcm.shape[0])
+    if n == 0:
+        return 0, 0.0, 0.0
+    x = pcm.astype(np.float64)
+    return n, float(np.sqrt(np.mean(x * x))), float(np.max(np.abs(x)))
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    """Signal-to-noise ratio in dB of ``test`` against reference PCM."""
+    ref = np.asarray(ref, dtype=np.float64)
+    test = np.asarray(test, dtype=np.float64)
+    if ref.shape != test.shape:
+        return float("-inf")
+    noise = np.sum((ref - test) ** 2)
+    if noise == 0:
+        return float("inf")
+    return float(10.0 * np.log10(np.sum(ref**2) / noise))

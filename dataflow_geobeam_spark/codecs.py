@@ -1,0 +1,173 @@
+"""Audio codec encode/decode, deterministic and dependency-free.
+
+Graft analog of the reference's CRS normalization layer: geobeam validates
+and reprojects every element's CRS to EPSG:4326 at read time
+(``geobeam/io.py:597-638`` ``validate_crs``; per-element reprojection at
+``geobeam/io.py:124-127``). Here the normalization is codec -> float32 PCM
+in [-1, 1], and the registry of accepted codecs plays the role of the CRS
+whitelist (unknown codec => invalid element, like a missing CRS).
+
+Codecs:
+
+* ``wav``  — REAL RIFF/WAVE PCM16 encode+decode implemented here with
+  numpy + struct (bit-exact, no external library).
+* ``flac`` — STAND-IN container (this sandbox has no libsndfile/ffmpeg):
+  magic + header + zlib-compressed PCM16. Lossless, like real FLAC.
+* ``ogg`` / ``mp3`` — STAND-IN lossy containers: PCM16 re-quantized to
+  12/10 bits then zlib-compressed. SNR vs the source PCM is ~72 dB / ~60 dB,
+  comfortably above the 30 dB per-row invariant, mimicking a lossy codec's
+  behavior deterministically.
+
+If ``soundfile`` (libsndfile) is importable the real encoder/decoder is used
+for flac/ogg instead — gated behind an import-try so the engine runs
+identically in this container and on a cluster with audio libs installed.
+All decode paths return ``(pcm: np.ndarray[float32], sr_hz: int)``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+try:  # pragma: no cover - not present in this sandbox
+    import soundfile as _soundfile
+except Exception:  # pragma: no cover
+    _soundfile = None
+
+KNOWN_CODECS = ("wav", "flac", "ogg", "mp3")
+
+_FAKE_MAGIC = {
+    "flac": b"GBSFLAC1",
+    "ogg": b"GBSOGGS1",
+    "mp3": b"GBSMP3S1",
+}
+_FAKE_BITS = {"flac": 16, "ogg": 12, "mp3": 10}
+
+# ---------------------------------------------------------------------------
+# WAV (real RIFF PCM16 implementation)
+# ---------------------------------------------------------------------------
+
+
+def _pcm_to_int16(pcm: np.ndarray) -> np.ndarray:
+    clipped = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+    return np.round(clipped * 32767.0).astype(np.int16)
+
+
+def _int16_to_pcm(samples: np.ndarray) -> np.ndarray:
+    return (samples.astype(np.float32)) / np.float32(32767.0)
+
+
+def encode_wav(pcm: np.ndarray, sr_hz: int) -> bytes:
+    """Encode mono float32 PCM to a standard RIFF/WAVE PCM16 byte string."""
+    data = _pcm_to_int16(pcm).tobytes()
+    n_channels, bits = 1, 16
+    byte_rate = sr_hz * n_channels * bits // 8
+    block_align = n_channels * bits // 8
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sr_hz, byte_rate, block_align, bits
+    )
+    data_hdr = struct.pack("<4sI", b"data", len(data))
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data_hdr) + len(data), b"WAVE")
+    return riff + fmt + data_hdr + data
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF/WAVE PCM16 bytes -> (float32 PCM, sample rate).
+
+    Walks RIFF chunks (tolerates extra chunks); raises ValueError on
+    malformed/truncated input — the caller maps that to a null row, the
+    analog of ``make_valid`` returning None on unparseable geometry
+    (``/root/reference/geobeam/fn.py:23-53``).
+    """
+    if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, sr_hz, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = struct.unpack_from("<4sI", buf, pos)
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt_tag, n_ch, sr_hz, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt_tag != 1 or n_ch != 1 or bits != 16:
+                raise ValueError(f"unsupported wav format tag={fmt_tag} ch={n_ch} bits={bits}")
+        elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("truncated data chunk")
+            data = body
+        pos += 8 + size + (size & 1)
+    if sr_hz is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    return _int16_to_pcm(samples), int(sr_hz)
+
+
+# ---------------------------------------------------------------------------
+# Stand-in lossy/lossless containers (deterministic, clearly marked)
+# ---------------------------------------------------------------------------
+
+
+def _encode_fake(pcm: np.ndarray, sr_hz: int, codec: str) -> bytes:
+    bits = _FAKE_BITS[codec]
+    q = _pcm_to_int16(pcm)
+    if bits < 16:  # lossy re-quantization: drop low-order bits deterministically
+        shift = 16 - bits
+        q = ((q.astype(np.int32) >> shift) << shift).astype(np.int16)
+    payload = zlib.compress(q.tobytes(), level=1)
+    header = struct.pack("<IQ", sr_hz, q.shape[0])
+    return _FAKE_MAGIC[codec] + header + payload
+
+
+def _decode_fake(buf: bytes, codec: str) -> tuple[np.ndarray, int]:
+    magic = _FAKE_MAGIC[codec]
+    if len(buf) < len(magic) + 12 or buf[: len(magic)] != magic:
+        raise ValueError(f"not a {codec} stand-in stream")
+    sr_hz, n = struct.unpack_from("<IQ", buf, len(magic))
+    raw = zlib.decompress(buf[len(magic) + 12 :])
+    samples = np.frombuffer(raw, dtype="<i2")
+    if samples.shape[0] != n:
+        raise ValueError("sample count mismatch in stand-in container")
+    return _int16_to_pcm(samples), int(sr_hz)
+
+
+# ---------------------------------------------------------------------------
+# Public registry API (the codec registry == CRS whitelist analog)
+# ---------------------------------------------------------------------------
+
+
+def encode(pcm: np.ndarray, sr_hz: int, codec: str) -> bytes:
+    """Encode float32 PCM under the named codec. Raises on unknown codec."""
+    if codec == "wav":
+        return encode_wav(pcm, sr_hz)
+    if codec in _FAKE_MAGIC:
+        if _soundfile is not None and codec in ("flac", "ogg"):  # pragma: no cover
+            import io
+
+            bio = io.BytesIO()
+            _soundfile.write(bio, pcm, sr_hz, format=codec.upper())
+            return bio.getvalue()
+        return _encode_fake(pcm, sr_hz, codec)
+    raise ValueError(f"unknown codec: {codec!r}")
+
+
+def decode(buf: bytes, codec: str) -> tuple[np.ndarray, int]:
+    """Decode encoded bytes -> (float32 PCM in [-1,1], sr_hz).
+
+    Raises ValueError on unknown codec or malformed payload; vectorized
+    callers convert that to a null/invalid row rather than failing the task.
+    """
+    if buf is None:
+        raise ValueError("null payload")
+    if codec == "wav":
+        return decode_wav(bytes(buf))
+    if codec in _FAKE_MAGIC:
+        b = bytes(buf)
+        if _soundfile is not None and not b.startswith(_FAKE_MAGIC[codec]):  # pragma: no cover
+            import io
+
+            pcm, sr = _soundfile.read(io.BytesIO(b), dtype="float32")
+            return np.asarray(pcm, dtype=np.float32), int(sr)
+        return _decode_fake(b, codec)
+    raise ValueError(f"unknown codec: {codec!r}")

@@ -1,0 +1,287 @@
+"""Seeded generator for the clips / transcripts_late fixture tables + oracle.
+
+Implements FIXTURES.md. Written with numpy/pandas/pyarrow ONLY (no Spark) so
+the golden outputs are an independent oracle: the engine decodes `bytes`
+with its vectorized UDF at query time, while the golden table's metrics were
+computed here at generation time from the same encoded payloads.
+
+Layout per scale factor (mirrors /root/testdata/sf*):
+
+    /root/repo/fixtures/sf0.01/clips.parquet
+    /root/repo/fixtures/sf0.01/transcripts_late.parquet
+    /root/repo/fixtures/sf0.01/golden_clips.parquet   (oracle: per-row decode)
+    /root/repo/fixtures/sf0.01/MANIFEST.json
+
+Schema of `clips` is exactly the input_hint shape plus event-time:
+(clip_id string, bytes binary, sr_hz int, dur_ms int, codec string,
+ transcript string, ts timestamp).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timedelta
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from dataflow_geobeam_spark import codecs
+from dataflow_geobeam_spark.audio_synth import SEED, pcm_metrics, synth_pcm
+
+FIXTURE_VERSION = 4
+T0 = datetime(2026, 1, 1, 0, 0, 0)
+ROWS_PER_SF = 300_000  # sf0.001 -> 300 rows, sf0.01 -> 3k, sf0.1 -> 30k
+DEFAULT_FIXTURES_ROOT = os.environ.get("SPARK_GRAFT_FIXTURES", "/root/repo/fixtures")
+
+_SR_CYCLE = (8000, 16000, 22050, 44100)
+_CODEC_CYCLE = ("wav", "flac", "ogg", "mp3")
+_VOCAB = (
+    "signal noise window frame sample stream batch shuffle spark clip audio "
+    "transcript watermark state join bucket salt codec decode commit snapshot "
+    "epoch offset lineage metric partition skew hash vector token"
+).split()
+
+CLIPS_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("sr_hz", pa.int32()),
+        ("dur_ms", pa.int32()),
+        ("codec", pa.string()),
+        ("transcript", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.001
+
+
+def fixtures_dir_for(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+    """Map a testdata sf dir (or bare 'sf0.01') to this repo's fixture dir."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if not base.startswith("sf"):
+        base = "sf0.001"
+    return os.path.join(root, base)
+
+
+def rows_for_sf(sf: float) -> int:
+    return max(300, int(ROWS_PER_SF * sf))
+
+
+def _transcript_for(i: int, rng: np.random.Generator) -> str:
+    if i % 53 == 11:  # ~2% empty transcripts
+        return ""
+    n_words = 3 + int(rng.integers(0, 8))
+    words = [_VOCAB[int(rng.integers(0, len(_VOCAB)))] for _ in range(n_words)]
+    return f"utterance {i} " + " ".join(words)
+
+
+def _row(i: int) -> dict:
+    rng = np.random.default_rng([SEED, 7_000_000 + i])
+    prefix = f"{i % 256:02x}"
+    clip_id = f"{prefix}{i:012d}"
+    sr_hz = _SR_CYCLE[i % 4]
+    dur_ms = 250 + (i * 37) % 2250  # 0.25-2.5s keeps sf0.1 fixtures ~1.5 GB
+    codec = _CODEC_CYCLE[(i // 4) % 4]
+
+    synth_dur = dur_ms
+    if i % 223 == 7:  # sample-count disagrees with dur_ms by >10% => invalid
+        synth_dur = int(dur_ms * 1.3)
+    pcm = synth_pcm(i, sr_hz, synth_dur)
+    buf = codecs.encode(pcm, sr_hz, codec)
+    if i % 97 == 13:  # ~1% unknown codec label (decode registry must reject)
+        codec = "unknown"
+    if i % 211 == 5:  # ~0.5% truncated payloads
+        buf = buf[: max(4, len(buf) // 3)]
+
+    ts = T0 + timedelta(milliseconds=100 * i)
+    if i % 20 == 7:  # ~5% late/out-of-order rows, up to 90 s early event time
+        ts -= timedelta(seconds=float(rng.uniform(1.0, 90.0)))
+
+    return {
+        "i": i,
+        "clip_id": clip_id,
+        "bucket": prefix,
+        "bytes": buf,
+        "sr_hz": sr_hz,
+        "dur_ms": dur_ms,
+        "codec": codec,
+        "transcript": _transcript_for(i, rng),
+        "ts": ts,
+    }
+
+
+def _golden_decode(row: dict) -> dict:
+    """Oracle decode of the encoded payload — same rules as the engine UDF."""
+    decode_ok, n_samples, rms, peak, sr_decoded = False, 0, 0.0, 0.0, 0
+    try:
+        pcm, sr_decoded = codecs.decode(row["bytes"], row["codec"])
+        n_samples, rms, peak = pcm_metrics(pcm)
+        decode_ok = True
+    except (ValueError, Exception):  # noqa: BLE001 - any decode failure => invalid row
+        decode_ok = False
+    expected = row["sr_hz"] * row["dur_ms"] / 1000.0
+    valid = (
+        decode_ok
+        and row["sr_hz"] > 0
+        and row["dur_ms"] > 0
+        and sr_decoded == row["sr_hz"]
+        and expected > 0
+        and abs(n_samples - expected) <= 0.1 * expected
+    )
+    return {
+        "clip_id": row["clip_id"],
+        "bucket": row["bucket"],
+        "ts": row["ts"],
+        "sr_hz": row["sr_hz"],
+        "dur_ms": row["dur_ms"],
+        "codec": row["codec"],
+        "transcript": row["transcript"],
+        "decode_ok": decode_ok,
+        "n_samples": n_samples,
+        "rms": rms,
+        "peak": peak,
+        "valid": bool(valid),
+    }
+
+
+def _transcript_rows(rows: list[dict]) -> list[dict]:
+    out = []
+    for row in rows:
+        i = row["i"]
+        rng = np.random.default_rng([SEED, 9_000_000 + i])
+        if i % 5 == 4:  # ~20% of clips never get a late transcript
+            continue
+        if i % 20 == 3:  # 5%: delay beyond the 5-min join window => unmatched
+            delay = float(rng.uniform(360.0, 600.0))
+        else:
+            delay = float(rng.uniform(0.0, 240.0))
+        rec = {
+            "t_clip_id": row["clip_id"],
+            "t_transcript": row["transcript"],
+            "t_ts": row["ts"] + timedelta(seconds=delay),
+        }
+        out.append(rec)
+        if i % 101 == 3:  # ~1% duplicates (dedup / exactly-once check)
+            out.append(dict(rec))
+        if i % 37 == 2:  # ~3% orphans: transcript with no matching clip
+            out.append(
+                {
+                    "t_clip_id": f"zz{i:012d}",
+                    "t_transcript": f"orphan {i}",
+                    "t_ts": row["ts"] + timedelta(seconds=delay),
+                }
+            )
+    return out
+
+
+def _gen_chunk(span: tuple[int, int]) -> tuple[list[dict], list[dict]]:
+    rows = [_row(i) for i in range(span[0], span[1])]
+    return rows, [_golden_decode(r) for r in rows]
+
+
+def generate_fixtures(out_dir: str, n_rows: int) -> dict:
+    """Generate clips + transcripts_late + golden_clips parquet into out_dir.
+
+    Rows are a pure function of their index, so generation parallelizes
+    across processes without affecting determinism.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    spans = [(lo, min(lo + 1000, n_rows)) for lo in range(0, n_rows, 1000)]
+    if len(spans) > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=min(16, os.cpu_count() or 4)) as ex:
+            chunks = list(ex.map(_gen_chunk, spans))
+    else:
+        chunks = [_gen_chunk(s) for s in spans]
+    rows = [r for c in chunks for r in c[0]]
+    golden = [g for c in chunks for g in c[1]]
+
+    clips_tbl = pa.Table.from_pydict(
+        {name: [r[name] for r in rows] for name in CLIPS_SCHEMA.names},
+        schema=CLIPS_SCHEMA,
+    )
+    # Bounded row groups: the row group is the scan-split unit (the engine's
+    # analog of the reference's native raster block windows, geobeam/io.py:79-81);
+    # ~256 rows x ~50 KB payloads keeps each unit ~13 MB and splittable.
+    pq.write_table(
+        clips_tbl,
+        os.path.join(out_dir, "clips.parquet"),
+        compression="zstd",
+        row_group_size=256,
+    )
+
+    trows = _transcript_rows(rows)
+    t_tbl = pa.Table.from_pydict(
+        {
+            "t_clip_id": [t["t_clip_id"] for t in trows],
+            "t_transcript": [t["t_transcript"] for t in trows],
+            "t_ts": pa.array([t["t_ts"] for t in trows], type=pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t_tbl, os.path.join(out_dir, "transcripts_late.parquet"), compression="zstd")
+
+    g_tbl = pa.Table.from_pydict(
+        {
+            "clip_id": [g["clip_id"] for g in golden],
+            "bucket": [g["bucket"] for g in golden],
+            "ts": pa.array([g["ts"] for g in golden], type=pa.timestamp("us")),
+            "sr_hz": pa.array([g["sr_hz"] for g in golden], type=pa.int32()),
+            "dur_ms": pa.array([g["dur_ms"] for g in golden], type=pa.int32()),
+            "codec": [g["codec"] for g in golden],
+            "transcript": [g["transcript"] for g in golden],
+            "decode_ok": [g["decode_ok"] for g in golden],
+            "n_samples": pa.array([g["n_samples"] for g in golden], type=pa.int64()),
+            "rms": pa.array([g["rms"] for g in golden], type=pa.float64()),
+            "peak": pa.array([g["peak"] for g in golden], type=pa.float64()),
+            "valid": [g["valid"] for g in golden],
+        }
+    )
+    pq.write_table(g_tbl, os.path.join(out_dir, "golden_clips.parquet"), compression="zstd")
+
+    manifest = {
+        "version": FIXTURE_VERSION,
+        "seed": SEED,
+        "n_rows": n_rows,
+        "n_transcripts": len(trows),
+        "n_valid": sum(1 for g in golden if g["valid"]),
+    }
+    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def ensure_fixtures(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+    """Idempotently materialize fixtures for the given sf dir; returns path."""
+    out_dir = fixtures_dir_for(sf_dir, root)
+    manifest_path = os.path.join(out_dir, "MANIFEST.json")
+    n_rows = rows_for_sf(sf_from_dir(sf_dir))
+    if os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as f:
+                m = json.load(f)
+            if m.get("version") == FIXTURE_VERSION and m.get("n_rows") == n_rows:
+                return out_dir
+        except (json.JSONDecodeError, OSError):
+            pass
+    generate_fixtures(out_dir, n_rows)
+    return out_dir
+
+
+if __name__ == "__main__":
+    import sys
+
+    for sf in sys.argv[1:] or ["sf0.001", "sf0.01", "sf0.1"]:
+        path = ensure_fixtures(sf)
+        print(sf, "->", path)

@@ -71,8 +71,8 @@ def _decode_batch_metrics(bufs, codec_values):
 
     Heavy imports stay worker-side (lazy-import precedent,
     ``geobeam/io.py:68-70``)."""
-    from dataflow_geobeam_spark.fixtures import codecs
-    from dataflow_geobeam_spark.fixtures.audio_synth import pcm_metrics
+    from dataflow_geobeam_spark import codecs
+    from dataflow_geobeam_spark.audio_synth import pcm_metrics
 
     n = len(bufs)
     ok = np.zeros(n, dtype=bool)
@@ -145,7 +145,7 @@ def with_decoded_pcm(
     keep_names = [f.name for f in keep]
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from dataflow_geobeam_spark.fixtures import codecs
+        from dataflow_geobeam_spark import codecs
 
         for batch in batches:
             names = batch.schema.names
@@ -176,7 +176,7 @@ def decode_metrics_struct(data: pd.Series, codec: pd.Series) -> pd.DataFrame:
 @pandas_udf(ArrayType(FloatType()))
 def decode_pcm_array(data: pd.Series, codec: pd.Series) -> pd.Series:
     """Expression-position PCM decode; malformed rows -> null."""
-    from dataflow_geobeam_spark.fixtures import codecs
+    from dataflow_geobeam_spark import codecs
 
     out = []
     for buf, c in zip(data.values, codec.values):

@@ -1,0 +1,112 @@
+"""Multimodal binary-column plumbing: typed metadata, sniffing, stubs.
+
+Treats image/audio/video payloads as opaque ``binary`` columns with typed
+metadata — the reference's precedent of carrying the exotic payload in a
+standard column type (GeoJSON-in-a-STRING, ``geobeam/fn.py:213-221``;
+SURVEY.md §1.2).
+
+What is REAL here (and tested):
+* container sniffing from magic bytes (pure Catalyst on the binary prefix)
+* the mapInPandas/mapInArrow plumbing — schemas, batch shapes, partitioning
+* a deterministic fake feature extractor (content-hash derived vector) that
+  exercises the exact pipeline a real extractor would use
+
+What is STUBBED (this container ships no image/vision libs):
+* actual image decode / resize / video frame-sample raise
+  ``NotImplementedError`` behind an import-try gate for PIL — on a cluster
+  with Pillow installed the real path activates with no code change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+try:  # pragma: no cover - not present in this sandbox
+    import PIL.Image as _pil  # noqa: N813
+except Exception:  # pragma: no cover
+    _pil = None
+
+# magic-byte registry: (prefix hex, sniffed type). Pure-Catalyst sniffing —
+# the codec whitelist analog of validate_crs (geobeam/io.py:597-638).
+MAGIC_PREFIXES: tuple[tuple[str, str], ...] = (
+    ("89504e47", "png"),
+    ("ffd8ff", "jpeg"),
+    ("47494638", "gif"),
+    ("52494646", "riff"),  # wav/avi container
+    ("664c6143", "flac"),
+    ("4f676753", "ogg"),
+    ("494433", "mp3"),
+    ("1a45dfa3", "webm"),
+)
+
+
+def sniff_container(bytes_col: Column | str) -> Column:
+    """Container type from magic bytes — hex-prefix CASE chain, JVM-side."""
+    c = F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col
+    head = F.lower(F.hex(F.substring(c, 1, 8)))
+    expr = F.lit("unknown")
+    for prefix, name in reversed(MAGIC_PREFIXES):
+        expr = F.when(head.startswith(prefix), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def decode_image_stub(buf: bytes) -> np.ndarray:
+    """Image decode: real via PIL when available, else NotImplementedError.
+
+    Clearly-marked stub per the build contract — the Spark-side plumbing
+    around it (batching, schema, null handling) is real and tested with
+    ``fake_feature_vector``.
+    """
+    if _pil is not None:  # pragma: no cover
+        import io
+
+        return np.asarray(_pil.open(io.BytesIO(buf)))
+    raise NotImplementedError("image decode requires Pillow (not in this container)")
+
+
+def fake_feature_vector(buf: bytes, dim: int = 16) -> np.ndarray:
+    """Deterministic stand-in feature extractor: seeded by content hash.
+
+    Exercises the identical pipeline shape (binary -> float vector) as a
+    real embedding model; output is a pure function of the payload bytes.
+    """
+    import hashlib
+
+    seed = int.from_bytes(hashlib.md5(buf).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def with_feature_vectors(
+    df: DataFrame, bytes_col: str = "bytes", dim: int = 16
+) -> DataFrame:
+    """Append ``features array<float>`` via mapInArrow (Arrow-batched).
+
+    The extraction kernel is swappable (fake_feature_vector here, a model
+    forward-pass on a GPU cluster); the plumbing — batch iteration, null
+    propagation, schema — is the tested contract.
+    """
+    from dataflow_geobeam_spark.functions.decode import _binary_views
+
+    keep = list(df.schema.fields)
+    out_schema = StructType(keep + [StructField("features", ArrayType(FloatType()))])
+    keep_names = [f.name for f in keep]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            names = batch.schema.names
+            bufs = _binary_views(batch.column(names.index(bytes_col)))
+            feats = [
+                None if b is None else fake_feature_vector(bytes(b), dim) for b in bufs
+            ]
+            arrays = [batch.column(names.index(n)) for n in keep_names]
+            arrays.append(pa.array(feats, type=pa.list_(pa.float32())))
+            yield pa.RecordBatch.from_arrays(arrays, names=keep_names + ["features"])
+
+    return df.mapInArrow(fn, out_schema)

@@ -1,0 +1,164 @@
+"""Training-data pipeline queries: text analysis, dedup family, similarity.
+
+Every callable follows the (spark, sf_dir) -> DataFrame driver contract.
+Column aliases match the DuckDB oracles in ``__spark_entry__`` exactly; all
+portable hashing goes through functions.text.hash60 (md5-derived) so both
+engines compute identical values.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataflow_geobeam_spark.functions import text as T
+from dataflow_geobeam_spark.operators import dedup, similarity
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats — tokenization + hash agg."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).alias("total_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+        F.round(F.avg(T.uniq_token_ratio("text")), 6).alias("avg_uniq_ratio"),
+    )
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quality scoring: every factor + the composite score."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.round(T.uniq_token_ratio("text"), 6).alias("uniq_ratio"),
+        F.round(T.alpha_ratio("text"), 6).alias("alpha_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-vote language ID (heuristic operator, not a model)."""
+    docs = _t(spark, sf_dir, "documents")
+    v = T.langid_votes("text")
+    return docs.select(
+        "doc_id",
+        v["pred_lang"].alias("pred_lang"),
+        v["votes"].alias("votes"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit content fingerprint of normalized text, per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# dedup family
+# --------------------------------------------------------------------------
+
+
+def dedup_exact_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate detection over the transcript side-stream (the
+    fixture plants ~1% duplicated transcript rows)."""
+    from dataflow_geobeam_spark.fixtures import ensure_fixtures
+
+    fx = ensure_fixtures(sf_dir)
+    tr = spark.read.parquet(os.path.join(fx, "transcripts_late.parquet"))
+    d = dedup.exact_duplicates(tr, ["t_clip_id", "t_transcript", "t_ts"], "t_clip_id")
+    # dup_key (md5 over engine-rendered values) is engine-internal; expose
+    # the portable columns only so the oracle can group on raw values
+    return d.select(F.col("ids")[0].alias("clip_id"), "n_copies")
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (threshold 0.5 Jaccard on 3-gram
+    shingles), verified with exact Jaccard. The oracle is brute-force exact
+    Jaccard: the gate therefore checks LSH recall AND precision, not just
+    determinism."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=64, threshold=0.5)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard >= 0.5 (quadratic baseline)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level check of the MinHash computation: first 4 signature slots
+    per doc — pins the portable-hash contract across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.with_minhash(docs, "text", n=3, k=4, portable=True)
+    return sigs.where(F.size("shingles") > 0).select(
+        "doc_id",
+        F.col("minhash")[0].alias("mh0"),
+        F.col("minhash")[1].alias("mh1"),
+        F.col("minhash")[2].alias("mh2"),
+        F.col("minhash")[3].alias("mh3"),
+    )
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (hamming <= 8 within hash-prefix buckets).
+
+    No SQL oracle: the 60-bit majority-vote assembly is engine-specific;
+    driver records rows-only. tests/test_text_dedup.py asserts containment
+    vs exact Jaccard pairs instead.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+def emb_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the first 20 vectors as queries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+def emb_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH (the scale path).
+
+    No SQL oracle (recall < 1 by construction); tests measure recall vs
+    the brute-force baseline (>= 0.6 with 6 tables x 10 planes).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.lsh_topk(emb, queries, k=5)
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norms — array aggregation without explode:
+    element-wise sum via zip_with-reduce inside an aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        exploded.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(F.sqrt(F.sum(F.col("v").cast("double") * F.col("v"))), 6).alias(
+                "frobenius"
+            ),
+            F.round(F.avg(F.col("v").cast("double")), 9).alias("mean_component"),
+        )
+    )

@@ -8,8 +8,8 @@ SURVEY.md §5.
 import numpy as np
 import pytest
 
-from dataflow_geobeam_spark.fixtures import codecs
-from dataflow_geobeam_spark.fixtures.audio_synth import pcm_metrics, snr_db, synth_pcm
+from dataflow_geobeam_spark import codecs
+from dataflow_geobeam_spark.audio_synth import pcm_metrics, snr_db, synth_pcm
 
 
 @pytest.mark.parametrize("codec", codecs.KNOWN_CODECS)

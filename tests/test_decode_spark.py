@@ -7,7 +7,7 @@ allclose (SNR >= 30 dB) + metric equality, per clip, engine-vs-oracle.
 import numpy as np
 from pyspark.sql import functions as F
 
-from dataflow_geobeam_spark.fixtures.audio_synth import snr_db, synth_pcm
+from dataflow_geobeam_spark.audio_synth import snr_db, synth_pcm
 from dataflow_geobeam_spark.functions.decode import with_decoded_metrics, with_decoded_pcm
 from dataflow_geobeam_spark.functions.validity import filter_invalid
 from dataflow_geobeam_spark.sources.clips import read_clips, read_golden
