@@ -74,10 +74,14 @@ def quality_score(col: Column | str) -> Column:
     return F.round(len_factor * uniq_token_ratio(col) * alpha_ratio(col), 6)
 
 
-def langid_votes(col: Column | str) -> Column:
-    """Predicted language by marker-word votes; ties broken by lang code
-    order (deterministic). Returns struct(pred_lang, votes)."""
-    t = tokens(col)
+def langid_votes_from_tokens(t: Column) -> Column:
+    """Marker-vote language ID over a MATERIALIZED token array column.
+
+    Pass an attribute (not the tokens() expression): the vote references
+    the array 2x per language, and CollapseProject would otherwise inline
+    the tokenizer into all 10 references.
+    Returns struct(pred_lang, votes); ties break to the later lang code.
+    """
 
     def _contains(marker_arr):
         # single-arg closure: pyspark infers lambda arity from the signature,
@@ -91,6 +95,12 @@ def langid_votes(col: Column | str) -> Column:
         vote_cols.append(F.struct(v.cast("long").alias("votes"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*vote_cols))
     return F.struct(best["lang"].alias("pred_lang"), best["votes"].alias("votes"))
+
+
+def langid_votes(col: Column | str) -> Column:
+    """langid over raw text — convenience form; prefer materializing
+    tokens() behind an exchange first (see langid_votes_from_tokens)."""
+    return langid_votes_from_tokens(tokens(col))
 
 
 def normalize_text(col: Column | str) -> Column:

@@ -52,8 +52,11 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-vote language ID (heuristic operator, not a model)."""
     docs = _t(spark, sf_dir, "documents")
-    v = T.langid_votes("text")
-    return docs.select(
+    toks = docs.select("doc_id", T.tokens("text").alias("toks")).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+    v = T.langid_votes_from_tokens(F.col("toks"))
+    return toks.select(
         "doc_id",
         v["pred_lang"].alias("pred_lang"),
         v["votes"].alias("votes"),
