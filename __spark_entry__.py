@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_clip_metrics": audio.audio_clip_metrics,
         "audio_transcript_join": audio.audio_transcript_join,
         "audio_codec_hourly": audio.audio_codec_hourly,
+        "audio_bucket_agg_salted": audio.audio_bucket_agg_salted,
+        "audio_frame_rms": audio.audio_frame_rms,
         # --- relational operator coverage (SURVEY.md §2.4) ---
         "tpch_q1_pricing_summary": relational.q1_pricing_summary_rounded,
         "tpch_q6_forecast_revenue": relational.q6_rounded,
@@ -145,6 +147,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets,
                    round(sum(rms), 6) AS sum_rms
             FROM {_GOLDEN} WHERE valid GROUP BY 1, 2
+        """,
+        "audio_bucket_agg_salted": f"""
+            SELECT bucket,
+                   CAST(count(*) AS BIGINT) AS n_clips,
+                   CAST(sum(dur_ms) AS BIGINT) AS sum_dur_ms,
+                   round(sum(rms) / count(*), 6) AS mean_rms,
+                   CAST(sum(n_samples) AS BIGINT) AS sum_samples
+            FROM {_GOLDEN} WHERE valid GROUP BY bucket
         """,
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -130,6 +130,43 @@ def audio_transcript_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_bucket_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket aggregate THROUGH the skew-salting operator: the salted
+    two-phase plan must produce byte-identical aggregates to a plain
+    groupBy — the oracle checks that algebraic-decomposition correctness."""
+    from dataflow_geobeam_spark.operators.skew import salted_two_phase_agg
+
+    df = decoded_valid_clips(spark, sf_dir)
+    agg = salted_two_phase_agg(df, ["bucket"])
+    return agg.select(
+        "bucket",
+        "n_clips",
+        "sum_dur_ms",
+        F.round("mean_rms", 6).alias("mean_rms"),
+        "sum_samples",
+    )
+
+
+def audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip -> per-frame explode (100 ms frames, 50 ms hop) with frame RMS.
+
+    The DoBlockToPixelExterior analog (1 -> N rows, ``geobeam/fn.py:224-247``).
+    No SQL oracle (frame slicing over decoded PCM isn't SQL-expressible);
+    tests/test_audio_frames.py checks frame counts + RMS vs a numpy oracle.
+    """
+    from dataflow_geobeam_spark.functions.audio import explode_frames
+    from dataflow_geobeam_spark.functions.decode import with_decoded_pcm
+
+    fx = ensure_fixtures(sf_dir)
+    df = read_clips(spark, fx).where(precheck_predicate())
+    pcm = with_decoded_pcm(df.select("clip_id", "bytes", "codec", "sr_hz")).where(
+        "pcm IS NOT NULL"
+    )
+    return explode_frames(pcm, frame_ms=100, hop_ms=50).select(
+        "clip_id", "frame_idx", "frame_rms"
+    )
+
+
 def audio_codec_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarser rollup: per codec per 1-min window, distinct buckets + stats."""
     df = decoded_valid_clips(spark, sf_dir)
