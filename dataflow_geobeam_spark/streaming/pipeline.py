@@ -21,7 +21,9 @@ from dataflow_geobeam_spark.sources.clips import CLIPS_SCHEMA
 from dataflow_geobeam_spark.streaming.sink import ExactlyOnceParquetSink
 
 
-def prepare_stream_dir(spark: SparkSession, fixture_dir: str, n_files: int = 8) -> str:
+def prepare_stream_dir(
+    spark: SparkSession, fixture_dir: str, n_files: int = 8, replicate: int = 1
+) -> str:
     """Materialize the clips table as N parquet files for micro-batching.
 
     The file is the micro-batch admission unit (``maxFilesPerTrigger``) —
@@ -29,11 +31,13 @@ def prepare_stream_dir(spark: SparkSession, fixture_dir: str, n_files: int = 8) 
     (``streaming_pubsub.py:61``). Files are split round-robin on a
     row_number so the split is deterministic. Idempotent per fixture dir.
     """
-    stream_dir = os.path.join(fixture_dir, f"clips_stream_{n_files}")
+    suffix = f"clips_stream_{n_files}" + (f"_x{replicate}" if replicate > 1 else "")
+    stream_dir = os.path.join(fixture_dir, suffix)
     done = os.path.join(stream_dir, "_PREPARED")
     if os.path.exists(done):
         return stream_dir
-    df = spark.read.parquet(os.path.join(fixture_dir, "clips.parquet"))
+    path = os.path.join(fixture_dir, "clips.parquet")
+    df = spark.read.parquet(*([path] * replicate))
     # deterministic assignment: hash of clip_id, not round-robin on task order
     df = df.repartition(n_files, F.col("clip_id"))
     df.write.mode("overwrite").parquet(stream_dir)
@@ -94,6 +98,7 @@ def run_streaming_window_agg(
     max_files_per_trigger: int = 1,
     available_now: bool = True,
     output_mode: str = "update",
+    replicate: int = 1,
 ) -> tuple[StreamingQuery, ExactlyOnceParquetSink]:
     """Launch the flagship streaming job; returns (query, sink).
 
@@ -109,7 +114,7 @@ def run_streaming_window_agg(
     * ``append``: only watermark-finalized windows are emitted — trailing
       windows stay in state at shutdown, the streaming-pure semantics.
     """
-    stream_dir = prepare_stream_dir(spark, fixture_dir, n_files)
+    stream_dir = prepare_stream_dir(spark, fixture_dir, n_files, replicate)
     clips = stream_clips_dir(spark, stream_dir, max_files_per_trigger)
     agg = windowed_agg_stream(decoded_valid_stream(clips, watermark), duration)
     sink = ExactlyOnceParquetSink(out_dir)

@@ -75,3 +75,16 @@ def test_feature_vector_plumbing_deterministic(spark):
 def test_image_decode_is_clearly_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_stub(b"\x89PNG....")
+
+
+def test_trim_silence(spark):
+    from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+    schema = StructType([StructField("pcm", ArrayType(FloatType()))])
+    padded = [0.0] * 5 + [0.5, -0.3, 0.2] + [0.001] * 4
+    rows = [(padded,), ([0.0] * 10,), ([0.9],)]
+    df = spark.createDataFrame(rows, schema)
+    got = [r.t for r in df.select(audio.trim_silence(F.col("pcm")).alias("t")).collect()]
+    assert [round(x, 3) for x in got[0]] == [0.5, -0.3, 0.2]
+    assert got[1] == []  # all silent
+    assert [round(x, 3) for x in got[2]] == [0.9]
