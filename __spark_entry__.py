@@ -14,10 +14,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-FIXTURES_SF001 = "/root/repo/fixtures/sf0.01"
-_GOLDEN = f"read_parquet('{FIXTURES_SF001}/golden_clips.parquet')"
-_CLIPS = f"read_parquet('{FIXTURES_SF001}/clips.parquet')"
-_TRANSCRIPTS = f"read_parquet('{FIXTURES_SF001}/transcripts_late.parquet')"
+FIXTURES_SF01 = "/root/repo/fixtures/sf0.01"
+_GOLDEN = f"read_parquet('{FIXTURES_SF01}/golden_clips.parquet')"
+_CLIPS = f"read_parquet('{FIXTURES_SF01}/clips.parquet')"
+_TRANSCRIPTS = f"read_parquet('{FIXTURES_SF01}/transcripts_late.parquet')"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -64,8 +64,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data ops: similarity search ---
         "emb_topk_bruteforce": training_data.emb_topk_bruteforce,
         "emb_topk_lsh": training_data.emb_topk_lsh,
+        "emb_near_dups": training_data.emb_near_dups,
         "emb_label_centroids": training_data.emb_label_centroids,
     }
+
+
+def _simhash_oracle(max_hamming: int = 8, prefix_bits: int = 12) -> str:
+    """DuckDB mirror of operators.dedup.simhash_pairs(portable=True):
+    md5-hash60 token hashes -> per-bit signed votes -> 60-bit long assembly
+    -> prefix-bucket self-join -> bit_count hamming."""
+    votes = ",\n                   ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(60)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(60)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+          FROM documents WHERE trim(text) <> ''
+        ),
+        h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(t || '#0'), 1, 15)) AS BIGINT) AS h
+          FROM toks
+        ),
+        votes AS (
+          SELECT doc_id,
+                   {votes}
+          FROM h GROUP BY doc_id
+        ),
+        sim AS (SELECT doc_id, ({assemble}) AS sim FROM votes),
+        p AS (SELECT doc_id, sim, sim >> {60 - prefix_bits} AS prefix FROM sim)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+        FROM p a JOIN p b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -287,6 +323,10 @@ def oracle_sql() -> dict[str, str]:
                    ), 1, 15)) AS BIGINT) AS fingerprint
             FROM documents
         """,
+        "audio_frame_rms": f"""
+            SELECT clip_id, frame_idx, frame_rms
+            FROM read_parquet('{FIXTURES_SF01}/golden_frames.parquet')
+        """,
         "dedup_exact_transcripts": f"""
             SELECT t_clip_id AS clip_id, CAST(count(*) AS BIGINT) AS n_copies
             FROM {_TRANSCRIPTS}
@@ -362,6 +402,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id
                         ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
             FROM s QUALIFY rank <= 5
+        """,
+        "dedup_simhash_pairs": _simhash_oracle(),
+        "emb_near_dups": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
         """,
         "emb_label_centroids": """
             WITH e AS (SELECT label, unnest(embedding) AS v FROM embeddings)

@@ -262,6 +262,92 @@ def generate_fixtures(out_dir: str, n_rows: int) -> dict:
     return manifest
 
 
+# frame params of the audio_frame_rms driver query — the golden_frames
+# oracle mirrors them exactly
+FRAME_MS, HOP_MS = 100, 50
+GOLDEN_FRAMES_MAX_ROWS = 3_000  # test-scale artifact (driver gate = sf0.01)
+
+
+def _spark_round6(x: float) -> float:
+    """Spark's round(x, 6) (HALF_UP) for positive doubles."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _frame_rms_rows(row: dict) -> list[dict]:
+    """Numpy oracle of functions.audio.explode_frames for one clip.
+
+    Matches the Catalyst expression exactly: sequential left-to-right
+    double accumulation over the float32 slice (np.cumsum is sequential by
+    construction, unlike np.sum's pairwise reduction), truncating int
+    frame/hop, 1-based slice starts, tail dropped.
+    """
+    if not (
+        row["sr_hz"] > 0
+        and row["dur_ms"] > 0
+        and row["codec"] in codecs.KNOWN_CODECS
+        and row["bytes"]
+    ):
+        return []  # precheck_predicate excludes the row before decode
+    try:
+        pcm, _sr = codecs.decode(row["bytes"], row["codec"])
+    except Exception:  # noqa: BLE001 - decode failure => pcm NULL => no frames
+        return []
+    sr = row["sr_hz"]
+    frame = max(1, int(sr * FRAME_MS / 1000))
+    hop = max(1, int(sr * HOP_MS / 1000))
+    n = pcm.shape[0]
+    if n < frame:
+        return []
+    n_frames = (n - frame) // hop + 1
+    sq = pcm.astype(np.float64) ** 2
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(frame)[None, :]
+    ss = np.cumsum(sq[idx], axis=1)[:, -1]
+    rms = np.sqrt(ss / float(frame))
+    return [
+        {"clip_id": row["clip_id"], "frame_idx": i, "frame_rms": _spark_round6(float(r))}
+        for i, r in enumerate(rms)
+    ]
+
+
+def _frames_chunk(span: tuple[int, int]) -> list[dict]:
+    out = []
+    for i in range(span[0], span[1]):
+        out.extend(_frame_rms_rows(_row(i)))
+    return out
+
+
+def ensure_golden_frames(out_dir: str, n_rows: int) -> str | None:
+    """Idempotently write golden_frames.parquet (clip_id, frame_idx,
+    frame_rms) — the independent per-frame oracle for audio_frame_rms.
+    Test-scale only (skipped above GOLDEN_FRAMES_MAX_ROWS): the driver's
+    correctness gate runs at sf0.01; bench scales don't read it."""
+    if n_rows > GOLDEN_FRAMES_MAX_ROWS:
+        return None
+    path = os.path.join(out_dir, "golden_frames.parquet")
+    if os.path.exists(path):
+        return path
+    spans = [(lo, min(lo + 500, n_rows)) for lo in range(0, n_rows, 500)]
+    if len(spans) > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=min(16, os.cpu_count() or 4)) as ex:
+            chunks = list(ex.map(_frames_chunk, spans))
+    else:
+        chunks = [_frames_chunk(s) for s in spans]
+    frames = [f for c in chunks for f in c]
+    tbl = pa.Table.from_pydict(
+        {
+            "clip_id": [f["clip_id"] for f in frames],
+            "frame_idx": pa.array([f["frame_idx"] for f in frames], type=pa.int32()),
+            "frame_rms": pa.array([f["frame_rms"] for f in frames], type=pa.float64()),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd")
+    return path
+
+
 def ensure_fixtures(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
     """Idempotently materialize fixtures for the given sf dir; returns path."""
     out_dir = fixtures_dir_for(sf_dir, root)
@@ -272,10 +358,12 @@ def ensure_fixtures(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
             with open(manifest_path) as f:
                 m = json.load(f)
             if m.get("version") == FIXTURE_VERSION and m.get("n_rows") == n_rows:
+                ensure_golden_frames(out_dir, n_rows)
                 return out_dir
         except (json.JSONDecodeError, OSError):
             pass
     generate_fixtures(out_dir, n_rows)
+    ensure_golden_frames(out_dir, n_rows)
     return out_dir
 
 

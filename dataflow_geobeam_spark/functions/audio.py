@@ -47,8 +47,10 @@ def explode_frames(
     (standard STFT framing).
     """
     pcm = F.col(pcm_col)
-    frame = (F.col(sr_col) * frame_ms / 1000).cast("int")
-    hop = (F.col(sr_col) * hop_ms / 1000).cast("int")
+    # clamp to >=1 sample: sr_hz * ms < 1000 would truncate to 0 and divide
+    # the frame count by zero (silently dropping every frame for that clip)
+    frame = F.greatest(F.lit(1), (F.col(sr_col) * frame_ms / 1000).cast("int"))
+    hop = F.greatest(F.lit(1), (F.col(sr_col) * hop_ms / 1000).cast("int"))
     starts = frame_starts(pcm, frame, hop)
     out = df.withColumn("_starts", starts).select(
         *[c for c in df.columns if c != pcm_col],

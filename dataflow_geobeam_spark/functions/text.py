@@ -179,31 +179,27 @@ def simhash60(col: Column | str) -> Column:
     """60-bit SimHash over tokens: bit b of the result is the majority vote
     of bit b across all token hashes. Near-identical docs differ in few
     bits (hamming distance). Pure higher-order expressions."""
-    t = tokens(col)
-    bits = F.sequence(F.lit(0), F.lit(59))
-    # per-bit signed vote: sum over tokens of (bit set ? +1 : -1);
-    # xxhash64 masked to 60 bits keeps the assembled hash positive
-    votes = F.transform(
-        bits,
-        lambda b: F.aggregate(
-            t,
-            F.lit(0).cast("long"),
-            lambda acc, tok: acc
-            + (
-                F.shiftright(
-                    F.xxhash64(tok).bitwiseAND(F.lit((1 << 60) - 1)), b
-                ).bitwiseAND(F.lit(1))
-                * 2
-                - 1
-            ),
-        ),
+    # hash each token once; 60 bits masked so the assembled hash is positive
+    hs = F.transform(
+        tokens(col), lambda tok: F.xxhash64(tok).bitwiseAND(F.lit((1 << 60) - 1))
     )
-    # assemble: sum of 2^b for bits with positive vote
-    return F.aggregate(
-        F.zip_with(votes, bits, lambda v, b: F.when(v > 0, F.pow(F.lit(2.0), b)).otherwise(F.lit(0.0))),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ).cast("long")
+    # per-bit signed vote (bit positions are Python ints: shiftright takes
+    # no Column bit count), assembled in LONG arithmetic — a double
+    # accumulator would silently drop low-order bits once bit >= 53 is set
+    # (2^59 + 1 rounds to 2^59), corrupting hamming distances.
+    def _vote_fn(b: int):
+        # factory, not a default-arg lambda: pyspark infers lambda arity
+        # from the full signature, so a default arg would change arity
+        return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    out = None
+    for b in range(60):
+        vote = F.aggregate(hs, F.lit(0).cast("long"), _vote_fn(b))
+        term = F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        out = term if out is None else out + term
+    return out
 
 
 def hamming60(a: Column, b: Column) -> Column:

@@ -35,8 +35,13 @@ def exact_duplicates(
 
     One hash-shuffle; at scale the md5 key keeps group payloads tiny and
     the aggregate is partial+final (map-side combine).
+
+    The key hashes a JSON rendering of the column struct, NOT concat_ws:
+    concat_ws silently skips NULLs, so ('a', NULL, 'b') and ('a', 'b',
+    NULL) would collide, as would NULL vs ''. to_json keeps null slots
+    and quoting distinct (round-2 ADVICE fix).
     """
-    key = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    key = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
     return (
         df.withColumn("dup_key", key)
         .groupBy("dup_key")
@@ -60,11 +65,8 @@ def with_minhash(
     measured at >100x slowdown. With the boundary, shingles materialize
     once and the signature reads an attribute.
     """
-    out = df.withColumn("shingles", T.shingles(text_col, n)).repartition(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32") and int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-    )
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    out = df.withColumn("shingles", T.shingles(text_col, n)).repartition(n_parts)
     return out.withColumn("minhash", T.minhash_signature(F.col("shingles"), k, portable))
 
 
@@ -187,6 +189,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     prefix_bits: int = 12,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dups: hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -198,9 +201,16 @@ def simhash_pairs(
     Computation is explode+groupBy (codegen) like minhash_signature_wide:
     per-bit signed votes aggregate map-side, then the 60-bit hash assembles
     from the 60 vote columns with plain arithmetic.
+
+    ``portable=True`` hashes tokens with the md5-derived hash60 instead of
+    xxhash64 so a DuckDB oracle can mirror the computation bit-for-bit
+    (test-scale verification only; xxhash64 is the production path).
     """
     toks = df.select(F.col(id_col).alias("_id"), F.explode(T.tokens(text_col)).alias("_t"))
-    h = F.xxhash64(F.col("_t")).bitwiseAND(F.lit((1 << 60) - 1))
+    if portable:
+        h = T.hash60(F.col("_t"))
+    else:
+        h = F.xxhash64(F.col("_t")).bitwiseAND(F.lit((1 << 60) - 1))
     vote_aggs = [
         F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
         for b in range(60)
@@ -228,15 +238,20 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 32,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (delegates to similarity.cosine)."""
-    from dataflow_geobeam_spark.operators.similarity import cosine_expr
+    """Embedding-cosine near-dup pairs via LSH bucket self-join.
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6))
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    Round-2 rewrite: round 1 cross-joined a x b on nothing but id_a < id_b
+    — a cartesian product (10^18 comparisons at 10^9 vectors). Now
+    candidates come from sign-sketch (table, bucket) collisions (one
+    mapInArrow sketch pass, shuffle per bucket) and only candidates pay
+    the exact-cosine verification — same shape as minhash_lsh_pairs.
+    """
+    from dataflow_geobeam_spark.operators.similarity import near_dup_pairs
+
+    return near_dup_pairs(
+        df, id_col, vec_col, threshold, dim=dim, n_planes=n_planes, n_tables=n_tables
     )

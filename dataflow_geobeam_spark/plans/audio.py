@@ -113,7 +113,10 @@ def audio_transcript_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The streaming form adds watermarks on both sides (streaming/join.py)."""
     fx = ensure_fixtures(sf_dir)
     clips = read_clips(spark, fx, columns=("clip_id", "transcript", "ts"))
-    tr = read_transcripts(spark, fx).dropDuplicates(["t_clip_id", "t_ts"])
+    # dedup on ALL oracle-DISTINCT columns: dropping on (clip_id, ts) alone
+    # would keep an arbitrary transcript if two texts shared a timestamp,
+    # diverging nondeterministically from the oracle's DISTINCT
+    tr = read_transcripts(spark, fx).dropDuplicates(["t_clip_id", "t_transcript", "t_ts"])
     joined = clips.join(
         tr,
         (F.col("clip_id") == F.col("t_clip_id"))
@@ -151,8 +154,10 @@ def audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clip -> per-frame explode (100 ms frames, 50 ms hop) with frame RMS.
 
     The DoBlockToPixelExterior analog (1 -> N rows, ``geobeam/fn.py:224-247``).
-    No SQL oracle (frame slicing over decoded PCM isn't SQL-expressible);
-    tests/test_audio_frames.py checks frame counts + RMS vs a numpy oracle.
+    Oracle: generation-time golden_frames.parquet (numpy decode + sequential
+    double accumulation mirroring the Catalyst aggregate exactly —
+    fixtures/generate.py:_frame_rms_rows); tests/test_audio_frames.py
+    additionally checks frame counts + RMS inline.
     """
     from dataflow_geobeam_spark.functions.audio import explode_frames
     from dataflow_geobeam_spark.functions.decode import with_decoded_pcm

@@ -178,7 +178,15 @@ def q5_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
-    """Ranking/top-k: window function over an aggregate (north-rule QA query)."""
+    """Ranking/top-k over an aggregate (north-rule QA query).
+
+    Round-2 plan fix: round 1 ranked with an UNPARTITIONED window
+    (row_number over a global orderBy) — every aggregated customer row
+    funneled into one partition for a global sort. Now the top-k is
+    ``orderBy().limit(k)``, which Spark compiles to TakeOrderedAndProject:
+    each partition keeps its local top k, the driver merges k rows. The
+    rank column derives from a window over the k-row result only.
+    """
     from pyspark.sql.window import Window
 
     orders = _t(spark, sf_dir, "orders")
@@ -187,9 +195,9 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str, k: int = 10) -> D
     joined = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey).select(
         "c_custkey", "c_name", "revenue"
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    topk = joined.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(k)
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))  # over k rows only
     return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "c_custkey", "c_name", F.round("revenue", 2).alias("revenue"))
     )

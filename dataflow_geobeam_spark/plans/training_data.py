@@ -119,12 +119,13 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups (hamming <= 8 within hash-prefix buckets).
 
-    No SQL oracle: the 60-bit majority-vote assembly is engine-specific;
-    driver records rows-only. tests/test_text_dedup.py asserts containment
-    vs exact Jaccard pairs instead.
+    Round-2 upgrade: uses the PORTABLE md5-derived token hash so the DuckDB
+    oracle mirrors the full computation (votes -> 60-bit assembly -> prefix
+    bucket join -> bit_count hamming) bit-for-bit. xxhash64 remains the
+    production path (tests cover it via containment vs exact Jaccard).
     """
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8, portable=True)
 
 
 # --------------------------------------------------------------------------
@@ -148,6 +149,23 @@ def emb_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
     return similarity.lsh_topk(emb, queries, k=5)
+
+
+def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.45) via LSH bucket self-join.
+
+    The oracle is brute-force exact cosine over all pairs, so the driver
+    gate checks LSH recall AND precision: precision is structurally exact
+    (candidates are cosine-verified), and recall is 1.0 at this scale with
+    4 planes x 32 tables (per-pair miss probability ~2e-3 at the 0.45
+    threshold, ~0 above 0.6; seeded hyperplanes make the outcome
+    deterministic, and this configuration was verified against the exact
+    oracle on the sf0.001/sf0.01 fixtures).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups(
+        emb, "vec_id", "embedding", threshold=0.45, dim=64, n_planes=4, n_tables=32
+    )
 
 
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     LongType,
     StringType,
@@ -51,16 +52,24 @@ JOIN_OUT_SCHEMA = StructType(
     ]
 )
 
-# state: the clip row (if seen) + earliest in-window transcript (if seen)
+# state: the clip row (if seen) + buffered transcript candidates. The buffer
+# exists because transcripts can arrive BEFORE their clip: with a single
+# slot, an out-of-window early transcript (t_ts < clip ts) would permanently
+# occupy it and block a later in-window match (round-2 ADVICE fix). Once the
+# clip is known, candidates resolve immediately and the buffer empties.
 STATE_SCHEMA = StructType(
     [
         StructField("clip_ts_us", LongType()),
         StructField("transcript", StringType()),
-        StructField("t_ts_us", LongType()),
-        StructField("t_transcript", StringType()),
+        StructField("cand_ts_us", ArrayType(LongType())),
+        StructField("cand_texts", ArrayType(StringType())),
         StructField("emitted", BooleanType()),
     ]
 )
+
+# bound on buffered pre-clip transcripts per key (keeps state O(1); the
+# fixture and any sane stream has ~1-3 transcripts per clip)
+MAX_BUFFERED_TRANSCRIPTS = 64
 
 
 def interval_join_streams(
@@ -105,17 +114,24 @@ def _stateful_join_fn(
     """Per-clip_id state machine.
 
     Input rows are the union stream: side='c' carries (ts, transcript);
-    side='t' carries (t_ts, t_transcript). Emits exactly one output row per
-    clip: matched as soon as both sides are present and in-window, else
-    unmatched at event-time timeout (watermark passed ts + join window).
+    side='t' carries (t_ts, t_transcript). Emits EXACTLY ONE output row per
+    clip (deliberately different from the interval join, which emits every
+    matching transcript — pinned by tests/test_streaming_join.py): matched
+    with the EARLIEST IN-WINDOW transcript (ties broken by transcript text)
+    as soon as both sides are present, else unmatched at event-time timeout
+    (watermark passed ts + join window). Transcripts seen before their clip
+    are buffered (bounded) and re-validated against the window once the
+    clip arrives; out-of-window candidates are discarded.
     """
     import pandas as pd  # noqa: PLC0415 - worker-side import
 
     us = 1_000_000
     if state.exists:
-        clip_ts_us, transcript, t_ts_us, t_transcript, emitted = state.get
+        clip_ts_us, transcript, cand_ts_us, cand_texts, emitted = state.get
+        cands = list(zip(cand_ts_us or [], cand_texts or []))
     else:
-        clip_ts_us, transcript, t_ts_us, t_transcript, emitted = None, None, None, None, False
+        clip_ts_us, transcript, emitted = None, None, False
+        cands = []
 
     if state.hasTimedOut:
         out = None
@@ -140,31 +156,40 @@ def _stateful_join_fn(
                 clip_ts_us = int(pd.Timestamp(row.ts).value // 1000)
                 transcript = row.transcript
             elif row.side == "t":
-                cand_us = int(pd.Timestamp(row.ts).value // 1000)
-                # keep the earliest transcript (deterministic under re-order)
-                if t_ts_us is None or cand_us < t_ts_us:
-                    t_ts_us = cand_us
-                    t_transcript = row.transcript
+                cands.append((int(pd.Timestamp(row.ts).value // 1000), row.transcript))
 
-    if (
-        not emitted
-        and clip_ts_us is not None
-        and t_ts_us is not None
-        and clip_ts_us <= t_ts_us <= clip_ts_us + JOIN_WINDOW_SECONDS * us
-    ):
-        emitted = True
-        yield pd.DataFrame(
-            {
-                "clip_id": [key[0]],
-                "ts": [pd.Timestamp(clip_ts_us, unit="us")],
-                "transcript": [transcript],
-                "t_transcript": [t_transcript],
-                "matched": [True],
-            }
+    if clip_ts_us is not None:
+        # clip known: resolve the buffer — keep only in-window candidates
+        lo, hi = clip_ts_us, clip_ts_us + JOIN_WINDOW_SECONDS * us
+        in_window = [c for c in cands if lo <= c[0] <= hi]
+        cands = []
+        if not emitted and in_window:
+            t_ts_us, t_transcript = min(in_window)
+            emitted = True
+            yield pd.DataFrame(
+                {
+                    "clip_id": [key[0]],
+                    "ts": [pd.Timestamp(clip_ts_us, unit="us")],
+                    "transcript": [transcript],
+                    "t_transcript": [t_transcript],
+                    "matched": [True],
+                }
+            )
+    elif len(cands) > MAX_BUFFERED_TRANSCRIPTS:
+        # clip not seen yet: bound the buffer, keeping the earliest
+        # candidates (the ones a future clip is most likely to match)
+        cands = sorted(cands)[:MAX_BUFFERED_TRANSCRIPTS]
+
+    state.update(
+        (
+            clip_ts_us,
+            transcript,
+            [c[0] for c in cands],
+            [c[1] for c in cands],
+            emitted,
         )
-
-    state.update((clip_ts_us, transcript, t_ts_us, t_transcript, emitted))
-    anchor_us = clip_ts_us if clip_ts_us is not None else t_ts_us
+    )
+    anchor_us = clip_ts_us if clip_ts_us is not None else min(c[0] for c in cands) if cands else None
     if anchor_us is not None:
         # evict when the watermark passes the end of the join window; for
         # already-late rows clamp forward — Spark rejects timeouts behind

@@ -53,3 +53,23 @@ def test_jobs_cli_batch(spark, fixture_dir, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] > 0
+
+
+def test_python_datasource_paginated_rest(spark):
+    """PySpark-4 Data Source path: pages fetched lazily in executor tasks,
+    partitioned by page range, no driver-side accumulation."""
+    from dataflow_geobeam_spark.sources.rest import register_rest_datasource
+
+    assert register_rest_datasource(spark)
+    df = (
+        spark.read.format("paginated_rest")
+        .schema("feature_id long, name string, page long")
+        .option("fetcher", "dataflow_geobeam_spark.sources.rest:demo_fetch_page")
+        .option("pages_per_partition", "8")
+        .option("max_pages", "64")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8  # 64/8 page-range partitions
+    assert df.count() == 37 * 25
+    got = df.agg({"feature_id": "max", "page": "max"}).collect()[0]
+    assert got[0] == 37 * 25 - 1 or got["max(feature_id)"] == 37 * 25 - 1
