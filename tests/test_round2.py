@@ -276,3 +276,36 @@ def test_explode_frames_tiny_sample_rate_no_divide_by_zero(spark):
     rows = explode_frames(df, frame_ms=100, hop_ms=50).collect()
     assert len(rows) == 50
     assert all(abs(r.frame_rms - 0.5) < 1e-6 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_topk_recall_and_plan(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    df = similarity.ivf_topk(emb, q, k=5, dim=64, n_cells=16, n_probe=8)
+    approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    recall = len(exact & approx) / len(exact)
+    # probing half the cells (8/16) must catch well over half the true
+    # neighbors even on near-orthogonal noise vectors
+    assert recall >= 0.5, recall
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_assign_one_cell_per_vector(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    cells = similarity.ivf_assign(emb, "vec_id", "embedding", dim=64, n_cells=32)
+    assert cells.count() == n
+    assert cells.select("_id").distinct().count() == n
+    probed = similarity.ivf_assign(emb, "vec_id", "embedding", dim=64, n_cells=32, n_probe=4)
+    assert probed.count() == 4 * n
