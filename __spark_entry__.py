@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": training_data.doc_quality,
         "doc_langid": training_data.doc_langid,
         "doc_fingerprint": training_data.doc_fingerprint,
+        "doc_text_metrics": training_data.doc_text_metrics,
         # --- training-data ops: dedup family ---
         "dedup_exact_transcripts": training_data.dedup_exact_transcripts,
         "dedup_minhash_signature": training_data.dedup_minhash_signature,
@@ -101,6 +102,40 @@ def _simhash_oracle(max_hamming: int = 8, prefix_bits: int = 12) -> str:
                CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
         FROM p a JOIN p b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+    """
+
+
+def _text_metrics_oracle() -> str:
+    """DuckDB mirror of plans.training_data.doc_text_metrics — stopword
+    list, BPE-ish regex, and rolling-hash parameters imported from the
+    engine module so the two can never drift."""
+    from dataflow_geobeam_spark.functions.text import (
+        BPE_ISH_PATTERN,
+        ROLLING_B,
+        ROLLING_M,
+        STOPWORDS,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               round(CASE WHEN len(toks) > 0
+                     THEN CAST(len(list_filter(toks, x -> list_contains([{stops}], lower(x)))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END, 6) AS stopword_ratio,
+               CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS bpe_tokens,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(toks, s -> CAST(('0x' || substring(md5(s || '#0'), 1, 15)) AS BIGINT))),
+                 (acc, h) -> (acc * {ROLLING_B} + h) % {ROLLING_M}
+               ) AS rolling_fp
+        FROM t
     """
 
 
@@ -403,6 +438,7 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
             FROM s QUALIFY rank <= 5
         """,
+        "doc_text_metrics": _text_metrics_oracle(),
         "dedup_simhash_pairs": _simhash_oracle(),
         "emb_near_dups": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

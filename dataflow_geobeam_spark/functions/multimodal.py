@@ -110,3 +110,119 @@ def with_feature_vectors(
             yield pa.RecordBatch.from_arrays(arrays, names=keep_names + ["features"])
 
     return df.mapInArrow(fn, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: resize + video frame-sample plumbing
+# ---------------------------------------------------------------------------
+
+
+def resize_image_stub(buf: bytes, width: int, height: int) -> bytes:
+    """Image resize: real via PIL when available, else NotImplementedError.
+    Returns re-encoded PNG bytes on the real path."""
+    if _pil is not None:  # pragma: no cover
+        import io
+
+        img = _pil.open(io.BytesIO(buf)).resize((width, height))
+        out = io.BytesIO()
+        img.save(out, format="PNG")
+        return out.getvalue()
+    raise NotImplementedError("image resize requires Pillow (not in this container)")
+
+
+def fake_thumbnail(buf: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resize: content-hash-seeded width*height
+    'pixel' bytes. Same contract shape as the real path (binary in,
+    smaller binary out, pure function of input)."""
+    import hashlib
+
+    seed = int.from_bytes(hashlib.md5(buf).digest()[:8], "big")
+    rng = np.random.default_rng([seed, width, height])
+    return rng.integers(0, 256, size=width * height, dtype=np.uint8).tobytes()
+
+
+def with_thumbnails(
+    df: DataFrame, bytes_col: str = "bytes", width: int = 8, height: int = 8
+) -> DataFrame:
+    """Append ``thumbnail binary`` via mapInArrow. Kernel = PIL resize when
+    available, else the deterministic fake — the plumbing (batching, null
+    propagation, schema) is identical and tested either way."""
+    from pyspark.sql.types import BinaryType
+
+    from dataflow_geobeam_spark.functions.decode import _binary_views
+
+    keep = list(df.schema.fields)
+    out_schema = StructType(keep + [StructField("thumbnail", BinaryType())])
+    keep_names = [f.name for f in keep]
+
+    def _kernel(b: bytes) -> bytes:
+        if _pil is not None:  # pragma: no cover
+            try:
+                return resize_image_stub(b, width, height)
+            except Exception:  # noqa: BLE001 - undecodable image -> fake path
+                pass
+        return fake_thumbnail(b, width, height)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            names = batch.schema.names
+            bufs = _binary_views(batch.column(names.index(bytes_col)))
+            thumbs = [None if b is None else _kernel(bytes(b)) for b in bufs]
+            arrays = [batch.column(names.index(n)) for n in keep_names]
+            arrays.append(pa.array(thumbs, type=pa.binary()))
+            yield pa.RecordBatch.from_arrays(arrays, names=keep_names + ["thumbnail"])
+
+    return df.mapInArrow(fn, out_schema)
+
+
+def sample_video_frames_stub(buf: bytes, n_frames: int) -> list[bytes]:
+    """Video frame sampling: requires a real decoder (ffmpeg/PyAV) — not in
+    this container. The deterministic stand-in below chunks the payload."""
+    raise NotImplementedError("video frame sampling requires ffmpeg/PyAV")
+
+
+def with_sampled_frames(
+    df: DataFrame, bytes_col: str = "bytes", id_col: str = "clip_id", n_frames: int = 4
+) -> DataFrame:
+    """1 video row -> n_frames (id, frame_idx, frame binary) rows via
+    mapInArrow — the frame-sample plumbing (schema, 1->N batch expansion,
+    partition locality) with a deterministic chunking kernel standing in
+    for the real decoder. Swapping in ffmpeg changes only the kernel."""
+    from pyspark.sql.types import BinaryType, IntegerType
+
+    from dataflow_geobeam_spark.functions.decode import _binary_views
+
+    id_field = df.schema[id_col].dataType
+    in_df = df.select(F.col(id_col).alias("_id"), F.col(bytes_col).alias("_bytes"))
+    out_schema = StructType(
+        [
+            StructField("_id", id_field),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            bufs = _binary_views(batch.column(1))
+            out_ids, out_idx, out_frames = [], [], []
+            for i, b in zip(ids, bufs):
+                if b is None or len(b) == 0:
+                    continue
+                data = bytes(b)
+                step = max(1, len(data) // n_frames)
+                for k in range(min(n_frames, len(data))):
+                    out_ids.append(i)
+                    out_idx.append(k)
+                    out_frames.append(data[k * step : k * step + step])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=batch.schema.field(0).type),
+                    pa.array(out_idx, type=pa.int32()),
+                    pa.array(out_frames, type=pa.binary()),
+                ],
+                names=["_id", "frame_idx", "frame"],
+            )
+
+    return in_df.mapInArrow(fn, out_schema)

@@ -205,3 +205,60 @@ def simhash60(col: Column | str) -> Column:
 def hamming60(a: Column, b: Column) -> Column:
     """Hamming distance between two 60-bit hashes via bit_count(xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: stopword ratio, BPE-ish token counting, rolling hash
+# ---------------------------------------------------------------------------
+
+# tiny English stopword list — the ratio operator is the point; production
+# would broadcast a full lexicon identically
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "as", "with",
+)
+
+# GPT-2-style pre-tokenizer pattern, simplified to the RE2-compatible subset
+# (no lookahead) so the DuckDB oracle runs the IDENTICAL pattern:
+# contractions | space?letters | space?digits | space?punct-run
+BPE_ISH_PATTERN = r"(?:'[a-z]+)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+# polynomial rolling-hash parameters (Karp-Rabin over token hashes).
+# M = 2^31 - 1 keeps acc*B + h inside a 64-bit long: acc < 2^31,
+# acc*B < 2^51, + h (60-bit) < 2^61.
+ROLLING_B = 1_000_003
+ROLLING_M = (1 << 31) - 1
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Fraction of tokens that are stopwords — a fluency/quality signal
+    (boilerplate and keyword-stuffed spam sit at the extremes)."""
+    t = tokens(col)
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stops, F.lower(x))))
+    return F.when(F.size(t) > 0, n_stop.cast("double") / F.size(t)).otherwise(F.lit(0.0))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Subword-style token count via the BPE-ish regex — tracks LLM token
+    cost far better than whitespace counting (punctuation and digit runs
+    count separately). Pure JVM regexp_count; DuckDB mirrors with
+    regexp_extract_all over the same pattern."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).cast("long")
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Order-sensitive Karp-Rabin document fingerprint.
+
+    Folds the portable 60-bit token hashes through acc = (acc*B + h) mod M
+    — unlike ``fingerprint`` (content hash of normalized text), token
+    ORDER matters, and the hash is incrementally maintainable over a
+    sliding token window (the rolling-hash property). Empty docs -> 0.
+    """
+    hs = F.transform(tokens(col), lambda tok: hash60(tok, 0))
+    return F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(ROLLING_B).cast("long") + h) % F.lit(ROLLING_M).cast("long"),
+    )

@@ -63,6 +63,20 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 text metrics: stopword ratio (fluency signal), BPE-ish
+    subword token count (LLM-cost proxy; same RE2-safe regex runs in the
+    DuckDB oracle), and the order-sensitive Karp-Rabin rolling fingerprint
+    — all pure Catalyst."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        T.bpe_ish_token_count("text").alias("bpe_tokens"),
+        T.rolling_fingerprint("text").alias("rolling_fp"),
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit content fingerprint of normalized text, per doc."""
     docs = _t(spark, sf_dir, "documents")

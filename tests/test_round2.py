@@ -309,3 +309,79 @@ def test_ivf_assign_one_cell_per_vector(spark, sf_dir):
     assert cells.select("_id").distinct().count() == n
     probed = similarity.ivf_assign(emb, "vec_id", "embedding", dim=64, n_cells=32, n_probe=4)
     assert probed.count() == 4 * n
+
+
+# ---------------------------------------------------------------------------
+# multimodal: resize + frame-sample plumbing (r2)
+# ---------------------------------------------------------------------------
+
+
+def test_thumbnail_plumbing(spark):
+    from dataflow_geobeam_spark.functions import multimodal as mm
+
+    rows = [("a", b"payload-a" * 100), ("b", b"payload-b" * 100), ("c", None)]
+    df = spark.createDataFrame(rows, "id string, bytes binary")
+    got = {r.id: r.thumbnail for r in mm.with_thumbnails(df, width=4, height=4).collect()}
+    assert got["c"] is None                      # null propagates
+    assert len(got["a"]) == 16 and len(got["b"]) == 16
+    assert got["a"] != got["b"]                  # content-dependent
+    # deterministic: same input -> same thumbnail
+    again = {r.id: r.thumbnail for r in mm.with_thumbnails(df, width=4, height=4).collect()}
+    assert got == again
+
+
+def test_frame_sample_plumbing(spark):
+    from dataflow_geobeam_spark.functions import multimodal as mm
+
+    rows = [("v1", bytes(range(100))), ("v2", b""), ("v3", None)]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    out = mm.with_sampled_frames(df, n_frames=4).collect()
+    by_id: dict = {}
+    for r in out:
+        by_id.setdefault(r._id, []).append(r)
+    assert set(by_id) == {"v1"}                  # empty/null rows emit no frames
+    frames = sorted(by_id["v1"], key=lambda r: r.frame_idx)
+    assert [f.frame_idx for f in frames] == [0, 1, 2, 3]
+    assert all(len(f.frame) == 25 for f in frames)
+    assert b"".join(f.frame for f in frames) == bytes(range(100))
+
+
+def test_image_stubs_raise_without_pil(spark):
+    from dataflow_geobeam_spark.functions import multimodal as mm
+
+    if mm._pil is not None:
+        pytest.skip("PIL present: real path active")
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_stub(b"\x89PNG....")
+    with pytest.raises(NotImplementedError):
+        mm.resize_image_stub(b"\x89PNG....", 8, 8)
+
+
+# ---------------------------------------------------------------------------
+# text: stopword ratio, BPE-ish count, rolling fingerprint (r2)
+# ---------------------------------------------------------------------------
+
+
+def test_text_metrics_functions(spark):
+    from dataflow_geobeam_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [("the cat and the dog",), ("",), ("hello, world's 42!",)], "text string"
+    )
+    rows = df.select(
+        F.round(T.stopword_ratio("text"), 6).alias("sw"),
+        T.bpe_ish_token_count("text").alias("bpe"),
+        T.rolling_fingerprint("text").alias("fp"),
+    ).collect()
+    assert rows[0].sw == 0.6            # the, and, the of 5 tokens
+    assert rows[1].sw == 0.0 and rows[1].bpe == 0 and rows[1].fp == 0
+    # "hello" "," " world" "'s" " 42" "!" -> 6 subword tokens
+    assert rows[2].bpe == 6
+    # rolling fp is order-sensitive: reversed tokens hash differently
+    a, b = spark.createDataFrame([("alpha beta",), ("beta alpha",)], "text string").select(
+        T.rolling_fingerprint("text").alias("fp")
+    ).collect()
+    assert a.fp != b.fp
+    # but fingerprint (content hash of normalized text) also differs; the
+    # rolling property: same prefix evolves incrementally
+    assert 0 <= a.fp < (1 << 31)
