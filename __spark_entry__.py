@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_codec_hourly": audio.audio_codec_hourly,
         "audio_bucket_agg_salted": audio.audio_bucket_agg_salted,
         "audio_frame_rms": audio.audio_frame_rms,
+        "audio_spectral": audio.audio_spectral,
         # --- relational operator coverage (SURVEY.md §2.4) ---
         "tpch_q1_pricing_summary": relational.q1_pricing_summary_rounded,
         "tpch_q6_forecast_revenue": relational.q6_rounded,
@@ -361,6 +362,11 @@ def oracle_sql() -> dict[str, str]:
         "audio_frame_rms": f"""
             SELECT clip_id, frame_idx, frame_rms
             FROM read_parquet('{FIXTURES_SF01}/golden_frames.parquet')
+        """,
+        "audio_spectral": f"""
+            SELECT clip_id, spectral_centroid_hz, spectral_bandwidth_hz,
+                   spectral_rolloff_hz
+            FROM read_parquet('{FIXTURES_SF01}/golden_spectral.parquet')
         """,
         "dedup_exact_transcripts": f"""
             SELECT t_clip_id AS clip_id, CAST(count(*) AS BIGINT) AS n_copies

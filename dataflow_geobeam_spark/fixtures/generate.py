@@ -348,6 +348,71 @@ def ensure_golden_frames(out_dir: str, n_rows: int) -> str | None:
     return path
 
 
+def _spectral_chunk(span: tuple[int, int]) -> list[dict]:
+    from dataflow_geobeam_spark.functions.audio import spectral_features_np
+
+    out = []
+    for i in range(span[0], span[1]):
+        row = _row(i)
+        if not (
+            row["sr_hz"] > 0
+            and row["dur_ms"] > 0
+            and row["codec"] in codecs.KNOWN_CODECS
+            and row["bytes"]
+        ):
+            continue
+        try:
+            pcm, _ = codecs.decode(row["bytes"], row["codec"])
+        except Exception:  # noqa: BLE001
+            continue
+        c, b, r = spectral_features_np(pcm, row["sr_hz"])
+        out.append(
+            {
+                "clip_id": row["clip_id"],
+                "spectral_centroid_hz": _spark_round6(c),
+                "spectral_bandwidth_hz": _spark_round6(b),
+                "spectral_rolloff_hz": _spark_round6(r),
+            }
+        )
+    return out
+
+
+def ensure_golden_spectral(out_dir: str, n_rows: int) -> str | None:
+    """Idempotent golden_spectral.parquet: per-clip FFT features computed
+    by the SAME numpy kernel the Spark worker runs (functions.audio.
+    spectral_features_np) on an independent decode. Test-scale only."""
+    if n_rows > GOLDEN_FRAMES_MAX_ROWS:
+        return None
+    path = os.path.join(out_dir, "golden_spectral.parquet")
+    if os.path.exists(path):
+        return path
+    spans = [(lo, min(lo + 500, n_rows)) for lo in range(0, n_rows, 500)]
+    if len(spans) > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=min(16, os.cpu_count() or 4)) as ex:
+            chunks = list(ex.map(_spectral_chunk, spans))
+    else:
+        chunks = [_spectral_chunk(s) for s in spans]
+    rows = [r for c in chunks for r in c]
+    tbl = pa.Table.from_pydict(
+        {
+            "clip_id": [r["clip_id"] for r in rows],
+            "spectral_centroid_hz": pa.array(
+                [r["spectral_centroid_hz"] for r in rows], type=pa.float64()
+            ),
+            "spectral_bandwidth_hz": pa.array(
+                [r["spectral_bandwidth_hz"] for r in rows], type=pa.float64()
+            ),
+            "spectral_rolloff_hz": pa.array(
+                [r["spectral_rolloff_hz"] for r in rows], type=pa.float64()
+            ),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd")
+    return path
+
+
 def ensure_fixtures(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
     """Idempotently materialize fixtures for the given sf dir; returns path."""
     out_dir = fixtures_dir_for(sf_dir, root)
@@ -359,11 +424,13 @@ def ensure_fixtures(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
                 m = json.load(f)
             if m.get("version") == FIXTURE_VERSION and m.get("n_rows") == n_rows:
                 ensure_golden_frames(out_dir, n_rows)
+                ensure_golden_spectral(out_dir, n_rows)
                 return out_dir
         except (json.JSONDecodeError, OSError):
             pass
     generate_fixtures(out_dir, n_rows)
     ensure_golden_frames(out_dir, n_rows)
+    ensure_golden_spectral(out_dir, n_rows)
     return out_dir
 
 

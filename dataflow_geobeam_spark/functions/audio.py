@@ -102,3 +102,92 @@ def silence_ratio(pcm: Column, threshold: float = 0.01) -> Column:
         pcm, F.lit(0), lambda acc, v: acc + F.when(F.abs(v) < threshold, 1).otherwise(0)
     )
     return quiet.cast("double") / F.size(pcm)
+
+
+# ---------------------------------------------------------------------------
+# Round-2: spectral features (FFT-based — numpy kernel, not Catalyst)
+# ---------------------------------------------------------------------------
+
+
+def spectral_features_np(pcm, sr_hz: int, rolloff_pct: float = 0.85):
+    """(centroid_hz, bandwidth_hz, rolloff_hz) of one clip via rfft.
+
+    Shared by the Spark kernel AND the golden-fixture generator, so the
+    oracle is the same arithmetic on the same decoded samples. Silent or
+    empty clips return (0, 0, 0).
+    """
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.size == 0:
+        return 0.0, 0.0, 0.0
+    mag = np.abs(np.fft.rfft(x))
+    total = mag.sum()
+    if total <= 0:
+        return 0.0, 0.0, 0.0
+    freqs = np.fft.rfftfreq(x.size, d=1.0 / sr_hz)
+    centroid = float((freqs * mag).sum() / total)
+    bandwidth = float(np.sqrt((((freqs - centroid) ** 2) * mag).sum() / total))
+    cum = np.cumsum(mag)
+    rolloff = float(freqs[np.searchsorted(cum, rolloff_pct * total)])
+    return centroid, bandwidth, rolloff
+
+
+def with_spectral_metrics(
+    df, bytes_col: str = "bytes", codec_col: str = "codec", sr_col: str = "sr_hz"
+):
+    """Decode + FFT in ONE mapInArrow pass: appends spectral_centroid_hz /
+    spectral_bandwidth_hz / spectral_rolloff_hz (nulls on decode failure),
+    drops the payload column in the same pass (shuffle-weight hygiene,
+    same contract as decode.with_decoded_metrics).
+
+    FFT is not expressible in Catalyst — this is exactly the "vectorized
+    kernel the built-ins can't express" tier of the build rules; the batch
+    kernel is numpy rfft, Arrow in/out, zero per-row Python objects beyond
+    the decode registry call.
+    """
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from dataflow_geobeam_spark.functions.decode import _binary_views
+
+    keep = [f for f in df.schema.fields if f.name != bytes_col]
+    spectral_fields = [
+        StructField("spectral_centroid_hz", DoubleType()),
+        StructField("spectral_bandwidth_hz", DoubleType()),
+        StructField("spectral_rolloff_hz", DoubleType()),
+    ]
+    out_schema = StructType(keep + spectral_fields)
+    keep_names = [f.name for f in keep]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from dataflow_geobeam_spark import codecs
+
+        for batch in batches:
+            names = batch.schema.names
+            bufs = _binary_views(batch.column(names.index(bytes_col)))
+            codec_vals = batch.column(names.index(codec_col)).to_pylist()
+            sr_vals = batch.column(names.index(sr_col)).to_pylist()
+            cent, bw, roll = [], [], []
+            for buf, c, sr in zip(bufs, codec_vals, sr_vals):
+                try:
+                    pcm, _sr = codecs.decode(buf, c)
+                    f0, f1, f2 = spectral_features_np(pcm, sr or _sr)
+                    cent.append(f0), bw.append(f1), roll.append(f2)
+                except Exception:  # noqa: BLE001 - decode failure => nulls
+                    cent.append(None), bw.append(None), roll.append(None)
+            arrays = [batch.column(names.index(n)) for n in keep_names]
+            arrays += [
+                pa.array(cent, type=pa.float64()),
+                pa.array(bw, type=pa.float64()),
+                pa.array(roll, type=pa.float64()),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays,
+                names=keep_names
+                + ["spectral_centroid_hz", "spectral_bandwidth_hz", "spectral_rolloff_hz"],
+            )
+
+    return df.mapInArrow(fn, out_schema)

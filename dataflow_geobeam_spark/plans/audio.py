@@ -172,6 +172,29 @@ def audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip FFT features (centroid / bandwidth / rolloff Hz) — decode +
+    rfft in one mapInArrow pass (functions/audio.with_spectral_metrics).
+
+    Oracle: generation-time golden_spectral.parquet, produced by the SAME
+    numpy kernel on an independent decode of the same payloads
+    (fixtures/generate.py:_spectral_chunk).
+    """
+    from dataflow_geobeam_spark.functions.audio import with_spectral_metrics
+
+    fx = ensure_fixtures(sf_dir)
+    df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz", "dur_ms")).where(
+        precheck_predicate()
+    )
+    sp = with_spectral_metrics(df).where(F.col("spectral_centroid_hz").isNotNull())
+    return sp.select(
+        "clip_id",
+        F.round("spectral_centroid_hz", 6).alias("spectral_centroid_hz"),
+        F.round("spectral_bandwidth_hz", 6).alias("spectral_bandwidth_hz"),
+        F.round("spectral_rolloff_hz", 6).alias("spectral_rolloff_hz"),
+    )
+
+
 def audio_codec_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarser rollup: per codec per 1-min window, distinct buckets + stats."""
     df = decoded_valid_clips(spark, sf_dir)
