@@ -385,3 +385,77 @@ def test_text_metrics_functions(spark):
     # but fingerprint (content hash of normalized text) also differs; the
     # rolling property: same prefix evolves incrementally
     assert 0 <= a.fp < (1 << 31)
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's state-server protocol needs google.protobuf "
+    "(not in this container); runs the day the dependency appears",
+)
+def test_stateful_join_tws_matches_apply(spark, fixture_dir, tmp_path):
+    """The transformWithStateInPandas implementation must emit the same
+    matched rows as the applyInPandasWithState one for the same input
+    stream (unmatched timeout rows depend on final-watermark handling at
+    stream end, so the pinned contract is the matched set + schema)."""
+    import os
+
+    from dataflow_geobeam_spark.sources.clips import TRANSCRIPTS_SCHEMA
+    from dataflow_geobeam_spark.streaming import join as sjoin
+
+    cdir, tdir = str(tmp_path / "c"), str(tmp_path / "t")
+    clips = spark.read.parquet(os.path.join(fixture_dir, "clips.parquet")).select(
+        "clip_id", "ts", "transcript"
+    ).limit(200)
+    clips.repartition(2, "clip_id").write.mode("overwrite").parquet(cdir)
+    tr = spark.read.parquet(os.path.join(fixture_dir, "transcripts_late.parquet"))
+    tr.repartition(2, "t_clip_id").write.mode("overwrite").parquet(tdir)
+
+    def run(impl, name):
+        cs = (
+            spark.readStream.schema("clip_id string, ts timestamp, transcript string")
+            .option("maxFilesPerTrigger", "1").parquet(cdir)
+        )
+        ts = (
+            spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1").parquet(tdir)
+        )
+        out = impl(cs, ts)
+        q = (
+            out.writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(600)
+        return {
+            (r.clip_id, r.t_transcript)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+            if r.matched
+        }
+
+    import time as _time
+
+    a = run(sjoin.stateful_join_apply, f"tws_a_{int(_time.time()*1000)}")
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        b = run(sjoin.stateful_join_tws, f"tws_b_{int(_time.time()*1000)}")
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert a == b
+    assert len(b) > 0
