@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": relational.events_tumbling,
         "events_approx_users": relational.events_approx_users,
         "top_customers": relational.top_customers_by_revenue,
+        "order_percentiles": relational.order_price_percentiles,
         # --- training-data ops: text analysis ---
         "doc_token_stats": training_data.doc_token_stats,
         "doc_quality": training_data.doc_quality,
@@ -443,6 +444,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id
                         ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
             FROM s QUALIFY rank <= 5
+        """,
+        "order_percentiles": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(quantile_cont(o_totalprice, 0.5), 6) AS p50_price,
+                   round(quantile_cont(o_totalprice, 0.95), 6) AS p95_price,
+                   round(quantile_cont(o_totalprice, 0.99), 6) AS p99_price
+            FROM orders GROUP BY o_orderpriority
         """,
         "doc_text_metrics": _text_metrics_oracle(),
         "dedup_simhash_pairs": _simhash_oracle(),

@@ -177,6 +177,24 @@ def q5_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per order-priority: sort-based
+    aggregate (Spark ``percentile`` == DuckDB ``quantile_cont`` — verified
+    bit-equal). At true scale swap in percentile_approx (one-pass sketch,
+    no sort); the exact form is the oracle-checkable variant.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 6).alias("p95_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99_price"),
+        )
+    )
+
+
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Ranking/top-k over an aggregate (north-rule QA query).
 
