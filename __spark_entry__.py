@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_top_orders": relational.q3_rounded,
         "tpch_q5_region_revenue": relational.q5_rounded,
         "events_tumbling": relational.events_tumbling,
+        "events_sessions": relational.events_sessions,
         "events_approx_users": relational.events_approx_users,
         "top_customers": relational.top_customers_by_revenue,
         "order_percentiles": relational.order_price_percentiles,
@@ -444,6 +445,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id
                         ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
             FROM s QUALIFY rank <= 5
+        """,
+        "events_sessions": """
+            WITH s AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                  > INTERVAL 4 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            g AS (SELECT user_id, ts, value,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM s)
+            SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+                   user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM g GROUP BY user_id, sid
         """,
         "order_percentiles": """
             SELECT o_orderpriority,

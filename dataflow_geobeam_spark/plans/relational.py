@@ -129,6 +129,26 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (4 h inactivity gap) over the events table
+    — the session operator on the driver's own testdata (the audio form
+    runs over fixtures). Works identically under readStream + watermark."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "4 hours"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            epoch_seconds(F.col("session_window.start")).alias("session_start_s"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approx-distinct variant (HLL++): the scale path — one pass, no
     distinct expansion. No SQL oracle (algorithm-specific estimates);
