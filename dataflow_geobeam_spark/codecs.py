@@ -56,7 +56,12 @@ def _pcm_to_int16(pcm: np.ndarray) -> np.ndarray:
 
 
 def _int16_to_pcm(samples: np.ndarray) -> np.ndarray:
-    return (samples.astype(np.float32)) / np.float32(32767.0)
+    # clamp -32768 -> -32767 before scaling: the lossy stand-ins' bit
+    # truncation (and any external PCM16 stream) can carry the asymmetric
+    # minimum, which would decode to -1.0000305 and break the [-1, 1]
+    # output contract (found by hypothesis: pcm=[-1.0], codec='ogg')
+    clamped = np.maximum(samples.astype(np.float32), np.float32(-32767.0))
+    return clamped / np.float32(32767.0)
 
 
 def encode_wav(pcm: np.ndarray, sr_hz: int) -> bytes:

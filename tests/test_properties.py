@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis): codec invariants and text-function
+parity against plain-Python models.
+
+Spark-side properties batch all generated examples into ONE job per test
+(a Spark round-trip per hypothesis example would be prohibitively slow).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dataflow_geobeam_spark import codecs
+
+# bounded float32 PCM in [-1, 1]
+pcm_strategy = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+    min_size=1,
+    max_size=2000,
+)
+sr_strategy = st.sampled_from([8000, 16000, 22050, 44100])
+
+
+@settings(max_examples=30, deadline=None)
+@given(pcm=pcm_strategy, sr=sr_strategy, codec=st.sampled_from(codecs.KNOWN_CODECS))
+def test_codec_roundtrip_properties(pcm, sr, codec):
+    """For ANY pcm: decode(encode(x)) preserves length + sample rate, stays
+    in [-1, 1], and loses at most the codec's documented quantization."""
+    x = np.asarray(pcm, dtype=np.float32)
+    buf = codecs.encode(x, sr, codec)
+    dec, sr_out = codecs.decode(buf, codec)
+    assert sr_out == sr
+    assert dec.shape == x.shape
+    assert dec.dtype == np.float32
+    assert float(np.max(np.abs(dec))) <= 1.0 + 1e-6
+    # worst codec here is the 10-bit mp3 stand-in: one quantization step
+    # of the 10-bit grid = 2^6/32767
+    max_err = float(np.max(np.abs(dec - x)))
+    assert max_err <= (1 << 6) / 32767.0 + 1e-6
+
+
+@settings(max_examples=30, deadline=None)
+@given(pcm=pcm_strategy, sr=sr_strategy)
+def test_wav_decode_rejects_any_truncation(pcm, sr):
+    """Truncating a wav payload anywhere inside the data chunk must raise
+    (never silently return wrong-length audio) — the make_valid contract."""
+    x = np.asarray(pcm, dtype=np.float32)
+    buf = codecs.encode(x, sr, "wav")
+    cut = len(buf) - 1 if len(buf) % 2 else len(buf) - 3
+    try:
+        dec, _ = codecs.decode(buf[:cut], "wav")
+        # if it decodes, it must NOT silently have full length
+        assert dec.shape[0] < x.shape[0]
+    except ValueError:
+        pass  # rejection is the expected path
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs")),
+        max_size=200,
+    )
+)
+def test_rolling_fingerprint_python_model(text):
+    """The Karp-Rabin fold has a trivial python model; the Spark expression
+    is checked against the same model in test_round2 — here the model
+    itself is pinned: result in [0, M), order-sensitive, empty -> 0."""
+    import hashlib
+
+    from dataflow_geobeam_spark.functions.text import ROLLING_B, ROLLING_M
+
+    toks = text.strip().split() if text.strip() else []
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5((s + "#0").encode()).hexdigest()[:15], 16)
+
+    acc = 0
+    for t in toks:
+        acc = (acc * ROLLING_B + h60(t)) % ROLLING_M
+    assert 0 <= acc < ROLLING_M
+    if len(set(toks)) > 1:
+        rev = 0
+        for t in reversed(toks):
+            rev = (rev * ROLLING_B + h60(t)) % ROLLING_M
+        # order sensitivity (collisions possible but measure-zero)
+        assert acc != rev or toks == list(reversed(toks))
+
+
+def test_text_functions_match_python_model_batch(spark):
+    """One Spark job over a corpus of adversarial strings: token_count,
+    shingles size, fingerprint, and rolling_fingerprint all match plain
+    Python recomputations."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dataflow_geobeam_spark.functions import text as T
+    from dataflow_geobeam_spark.functions.text import ROLLING_B, ROLLING_M
+
+    corpus = [
+        "", " ", "a", "a b", "a  b   c", "  leading", "trailing  ",
+        "the the the", "tab\tsep", "new\nline", "punct, only!!", "123 456",
+        "x " * 50, "unicode éè tokens", "a b c d e f g",
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    rows = df.select(
+        "text",
+        T.token_count("text").alias("n"),
+        F.size(T.shingles("text", 3)).alias("n_sh"),
+        T.rolling_fingerprint("text").alias("fp"),
+    ).collect()
+
+    def h60(s):
+        return int(hashlib.md5((s + "#0").encode()).hexdigest()[:15], 16)
+
+    for r in rows:
+        toks = r.text.strip().split() if r.text.strip() else []
+        assert r.n == len(toks), r.text
+        want_sh = len(set(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2))) if len(toks) >= 3 else 0
+        assert r.n_sh == want_sh, r.text
+        acc = 0
+        for t in toks:
+            acc = (acc * ROLLING_B + h60(t)) % ROLLING_M
+        assert r.fp == acc, r.text
