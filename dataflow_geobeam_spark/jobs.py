@@ -68,6 +68,39 @@ def cmd_schema(args) -> int:
     return 0
 
 
+def query_registry() -> dict:
+    """name -> (spark, sf_dir) callable, for every public plan function."""
+    from dataflow_geobeam_spark.plans import audio, relational, training_data
+
+    registry = {}
+    for mod in (audio, relational, training_data):
+        short = mod.__name__.rsplit(".", 1)[-1]
+        for name in dir(mod):
+            fn = getattr(mod, name)
+            if (
+                callable(fn)
+                and not name.startswith("_")
+                and getattr(fn, "__module__", None) == mod.__name__
+            ):
+                registry[f"{short}.{name}"] = fn
+    return registry
+
+
+def cmd_query(args) -> int:
+    """Run any plan-library query by dotted name and write parquet —
+    makes the full query surface spark-submit-launchable, not just the
+    flagship. ``--list`` prints the registry."""
+    registry = query_registry()
+    if args.list:
+        print("\n".join(sorted(registry)))
+        return 0
+    spark = _spark(args)
+    df = registry[args.query](spark, args.fixtures)
+    df.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"query": args.query, "rows": spark.read.parquet(args.out).count()}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dataflow_geobeam_spark.jobs")
     p.add_argument("--master", default=None)
@@ -88,6 +121,13 @@ def main(argv: list[str] | None = None) -> int:
     s2.add_argument("--fixtures", required=True)
     s2.add_argument("--out", required=True)
     s2.set_defaults(fn=cmd_batch_window_agg)
+
+    s4 = sub.add_parser("query")
+    s4.add_argument("query", nargs="?", default="")
+    s4.add_argument("--fixtures", default="/root/testdata/sf0.01")
+    s4.add_argument("--out", default="/tmp/query_out")
+    s4.add_argument("--list", action="store_true")
+    s4.set_defaults(fn=cmd_query)
 
     s3 = sub.add_parser("schema")
     s3.add_argument("path")

@@ -73,3 +73,17 @@ def test_python_datasource_paginated_rest(spark):
     assert df.count() == 37 * 25
     got = df.agg({"feature_id": "max", "page": "max"}).collect()[0]
     assert got[0] == 37 * 25 - 1 or got["max(feature_id)"] == 37 * 25 - 1
+
+
+def test_jobs_query_registry_covers_driver_queries():
+    """Every driver-contract query is launchable via the spark-submit CLI."""
+    import __spark_entry__ as entrymod
+    from dataflow_geobeam_spark.jobs import query_registry
+
+    reg = query_registry()
+    short_names = {k.split(".", 1)[1] for k in reg}
+    missing = [
+        q for q, fn in entrymod.queries().items()
+        if fn.__name__ not in short_names
+    ]
+    assert not missing, missing
