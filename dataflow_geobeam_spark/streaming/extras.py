@@ -63,3 +63,18 @@ def sliding_agg_stream(
             "n_clips",
         )
     )
+
+
+def enrich_with_static_dim(
+    stream: DataFrame, dim: DataFrame, key: str = "codec"
+) -> DataFrame:
+    """Stream-static broadcast enrichment join.
+
+    The static side is re-planned per micro-batch (so a slowly-changing
+    dimension table re-reads its source on every trigger) and broadcast —
+    no shuffle on the stream side, the standard pattern for attaching
+    reference data (codec properties, language lexicons, label maps) to a
+    high-volume stream. Static-side rows with no match drop stream rows
+    only under inner; default left keeps every stream row.
+    """
+    return stream.join(F.broadcast(dim), key, "left")

@@ -172,3 +172,38 @@ def test_metrics_listener_collects_epochs(spark, fixture_dir, tmp_path):
         assert lineage.count() >= 1
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stream_static_enrichment_join(spark, fixture_dir, tmp_path):
+    """Stream-static broadcast join: every streamed clip row is enriched
+    with its codec's static attributes; rows with unknown codecs keep NULL
+    attributes (left join)."""
+    import os
+    import time
+
+    from dataflow_geobeam_spark.sources.clips import CLIPS_SCHEMA
+    from dataflow_geobeam_spark.streaming.extras import enrich_with_static_dim
+
+    dim = spark.createDataFrame(
+        [("wav", False), ("flac", False), ("ogg", True), ("mp3", True)],
+        "codec string, lossy boolean",
+    )
+    src = str(tmp_path / "src")
+    clips = spark.read.parquet(os.path.join(fixture_dir, "clips.parquet")).limit(300)
+    n_in = clips.count()
+    clips.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(CLIPS_SCHEMA).parquet(src)
+    out = enrich_with_static_dim(stream.select("clip_id", "codec", "ts"), dim)
+    name = f"enrich_{int(time.time() * 1000)}"
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert len(rows) == n_in  # left join keeps every stream row
+    by_codec = {r.codec: r.lossy for r in rows if r.codec in ("wav", "ogg")}
+    assert by_codec.get("wav") is False and by_codec.get("ogg") is True
+    unknown = [r for r in rows if r.codec == "unknown"]
+    assert all(r.lossy is None for r in unknown)
