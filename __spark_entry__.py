@@ -143,6 +143,11 @@ def _text_metrics_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the LSH golden is deterministic (seeded hyperplanes); materialize it
+    # for the gate's sf before handing DuckDB the path
+    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_lsh_topk
+
+    ensure_golden_lsh_topk("/root/testdata/sf0.01")
     return {
         "audio_window_tumbling": f"""
             SELECT CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS window_start_s,
@@ -474,6 +479,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_text_metrics": _text_metrics_oracle(),
         "dedup_simhash_pairs": _simhash_oracle(),
+        "emb_topk_lsh": f"""
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+            FROM read_parquet('{FIXTURES_SF01}/golden_lsh_topk.parquet')
+        """,
         "emb_near_dups": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

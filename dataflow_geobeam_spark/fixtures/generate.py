@@ -440,3 +440,73 @@ if __name__ == "__main__":
     for sf in sys.argv[1:] or ["sf0.001", "sf0.01", "sf0.1"]:
         path = ensure_fixtures(sf)
         print(sf, "->", path)
+
+
+def ensure_golden_lsh_topk(
+    sf_dir: str,
+    root: str = DEFAULT_FIXTURES_ROOT,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 24,
+    seed: int = 42,
+    max_query_id: int = 20,
+) -> str | None:
+    """Numpy-computed expected output of similarity.lsh_topk over the
+    driver's embeddings table — an independent implementation of the SAME
+    deterministic algorithm (seeded hyperplanes make LSH reproducible), so
+    the driver gate can hash-verify the ANN path instead of rows-only.
+
+    Cosines use cumsum (sequential accumulation) to match Spark's
+    aggregate-fold bit-for-bit; ranking uses the ROUNDED cosine with
+    neighbor-id tie-breaks, exactly like the Spark query.
+    """
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(emb_path):
+        return None
+    out_dir = fixtures_dir_for(sf_dir, root)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "golden_lsh_topk.parquet")
+    if os.path.exists(path):
+        return path
+
+    from dataflow_geobeam_spark.operators.similarity import _all_planes
+
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    dim = vecs.shape[1]
+    planes = _all_planes(dim, n_planes, n_tables, seed)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    bits = (vecs.astype(np.float64) @ planes.T) > 0
+    buckets = bits.reshape(len(ids), n_tables, n_planes).astype(np.int64) @ weights
+
+    q_mask = ids < max_query_id
+    rows = []
+    for qi in np.where(q_mask)[0]:
+        cand = np.zeros(len(ids), dtype=bool)
+        for tbl in range(n_tables):
+            cand |= buckets[:, tbl] == buckets[qi, tbl]
+        cand[qi] = False
+        scored = []
+        qv = vecs[qi].astype(np.float64)
+        for ci in np.where(cand)[0]:
+            cv = vecs[ci].astype(np.float64)
+            dot = np.cumsum(qv * cv)[-1]
+            na = np.sqrt(np.cumsum(qv * qv)[-1])
+            nb = np.sqrt(np.cumsum(cv * cv)[-1])
+            scored.append((int(ids[ci]), _spark_round6(dot / (na * nb))))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (nid, cos) in enumerate(scored[:k], start=1):
+            rows.append(
+                {"query_id": int(ids[qi]), "neighbor_id": nid, "cosine": cos, "rank": rank}
+            )
+    tbl_out = pa.Table.from_pydict(
+        {
+            "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+            "neighbor_id": pa.array([r["neighbor_id"] for r in rows], type=pa.int64()),
+            "cosine": pa.array([r["cosine"] for r in rows], type=pa.float64()),
+            "rank": pa.array([r["rank"] for r in rows], type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl_out, path, compression="zstd")
+    return path

@@ -157,9 +157,15 @@ def emb_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH (the scale path).
 
-    No SQL oracle (recall < 1 by construction); tests measure recall vs
-    the brute-force baseline (>= 0.6 with 6 tables x 10 planes).
+    Round-2: hash-gated against golden_lsh_topk.parquet — seeded
+    hyperplanes make LSH fully deterministic, so an independent numpy
+    implementation of the same algorithm (fixtures/generate.py:
+    ensure_golden_lsh_topk, sequential-sum cosines) is a real oracle;
+    recall vs brute force is additionally measured in tests.
     """
+    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_lsh_topk
+
+    ensure_golden_lsh_topk(sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
     return similarity.lsh_topk(emb, queries, k=5)
