@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": training_data.doc_langid,
         "doc_fingerprint": training_data.doc_fingerprint,
         "doc_text_metrics": training_data.doc_text_metrics,
+        "pipeline_clean_corpus": training_data.pipeline_clean_corpus,
         # --- training-data ops: dedup family ---
         "dedup_exact_transcripts": training_data.dedup_exact_transcripts,
         "dedup_minhash_signature": training_data.dedup_minhash_signature,
@@ -476,6 +477,43 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.95), 6) AS p95_price,
                    round(quantile_cont(o_totalprice, 0.99), 6) AS p99_price
             FROM orders GROUP BY o_orderpriority
+        """,
+        "pipeline_clean_corpus": """
+            WITH d AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents
+            ),
+            scored AS (
+              SELECT doc_id,
+                     (list_max([
+                       {'votes': CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ein','nicht'], lower(x)))) AS BIGINT), 'lang': 'de'},
+                       {'votes': CAST(len(list_filter(toks, x -> list_contains(['the','and','of','a','to','is'], lower(x)))) AS BIGINT), 'lang': 'en'},
+                       {'votes': CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','los','una'], lower(x)))) AS BIGINT), 'lang': 'es'},
+                       {'votes': CAST(len(list_filter(toks, x -> list_contains(['le','la','et','les','des','une'], lower(x)))) AS BIGINT), 'lang': 'fr'},
+                       {'votes': CAST(len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','you3','wo3'], lower(x)))) AS BIGINT), 'lang': 'zh'}
+                     ])).lang AS pred_lang,
+                     round((CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0
+                                 WHEN len(toks) > 0 THEN 0.5 ELSE 0.0 END)
+                           * (CASE WHEN len(toks) = 0 THEN 0.0
+                                   ELSE len(list_distinct(toks))::DOUBLE / len(toks) END)
+                           * (CASE WHEN length(text) = 0 THEN 0.0
+                                   ELSE length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE / length(text) END),
+                           6) AS quality,
+                     CAST(('0x' || substring(md5(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || '#0'
+                     ), 1, 15)) AS BIGINT) AS fingerprint
+              FROM d
+            ),
+            filt AS (SELECT * FROM scored WHERE quality >= 0.2 AND pred_lang = 'en'),
+            surv AS (
+              SELECT fingerprint, min(doc_id) AS doc_id,
+                     CAST(count(*) AS BIGINT) AS n_copies
+              FROM filt GROUP BY fingerprint
+            )
+            SELECT s.doc_id, s.fingerprint, s.n_copies, f.quality
+            FROM surv s JOIN filt f ON s.doc_id = f.doc_id
         """,
         "doc_text_metrics": _text_metrics_oracle(),
         "dedup_simhash_pairs": _simhash_oracle(),

@@ -83,6 +83,42 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.fingerprint("text").alias("fingerprint"))
 
 
+def pipeline_clean_corpus(
+    spark: SparkSession, sf_dir: str, min_quality: float = 0.2, lang: str = "en"
+) -> DataFrame:
+    """End-to-end corpus cleaning — the composite a training-data pipeline
+    actually runs, built from the verified pieces: quality scoring ->
+    language ID -> exact dedup by normalized-text fingerprint (keep the
+    lowest doc_id per group).
+
+    Plan shape at scale: one documents scan, row-local scoring (the token
+    array materializes behind one exchange to keep langid out of
+    CollapseProject inlining), then ONE shuffle keyed by the 60-bit
+    fingerprint for the dedup aggregate. Output: one row per surviving
+    doc with its duplicate-group size.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "text", T.tokens("text").alias("toks")).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+    v = T.langid_votes_from_tokens(F.col("toks"))
+    scored = toks.select(
+        "doc_id",
+        v["pred_lang"].alias("pred_lang"),
+        T.quality_score("text").alias("quality"),
+        T.fingerprint("text").alias("fingerprint"),
+    )
+    filtered = scored.where(
+        (F.col("quality") >= min_quality) & (F.col("pred_lang") == lang)
+    )
+    survivors = filtered.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return survivors.join(filtered.select("doc_id", "quality"), "doc_id").select(
+        "doc_id", "fingerprint", "n_copies", "quality"
+    )
+
+
 # --------------------------------------------------------------------------
 # dedup family
 # --------------------------------------------------------------------------
