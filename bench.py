@@ -39,6 +39,11 @@ BENCH_QUERIES = [
     "tpch_q6_forecast_revenue",
     "events_tumbling",
     "top_customers",
+    # round-2 additions: training-data ops at sf0.1 scale (5k docs/vectors)
+    "doc_text_metrics",
+    "dedup_minhash_pairs",
+    "emb_near_dups",
+    "pipeline_clean_corpus",
 ]
 
 
