@@ -94,6 +94,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     rows: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded LSH, verified with exact Jaccard.
 
@@ -130,6 +131,21 @@ def minhash_lsh_pairs(
     buckets = sig.select("_id", F.explode(F.array(*band_structs)).alias("b")).select(
         "_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
     )
+
+    if max_bucket_size is not None:
+        # hot-bucket guard: a (band, bucket) shared by B docs yields
+        # B*(B-1)/2 candidate pairs — a single boilerplate-heavy bucket of
+        # 10^6 docs means 5*10^11 pairs. Buckets above the cap are skipped
+        # entirely (the standard production tradeoff: a signature band
+        # matching that many documents carries no dedup information, and
+        # true near-dups still collide in their other bands). One extra
+        # count aggregate keyed identically, so no new shuffle pattern.
+        sizes = buckets.groupBy("band", "bucket").count()
+        buckets = (
+            buckets.join(sizes, ["band", "bucket"])
+            .where(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
 
     left = buckets.select("band", "bucket", F.col("_id").alias("id_a"))
     right = buckets.select("band", "bucket", F.col("_id").alias("id_b"))

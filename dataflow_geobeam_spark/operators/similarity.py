@@ -212,6 +212,7 @@ def near_dup_pairs(
     n_planes: int = 4,
     n_tables: int = 32,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via LSH bucket SELF-join — never
     all-pairs (round-2 fix of VERDICT "What's wrong" #1).
@@ -226,6 +227,18 @@ def near_dup_pairs(
     Output: (id_a, id_b, cosine), id_a < id_b.
     """
     sk = sketch_buckets(df, id_col, vec_col, dim, n_planes, n_tables, seed)
+    if max_bucket_size is not None:
+        # hot-bucket guard (see operators/dedup.minhash_lsh_pairs): a
+        # (table, bucket) of B vectors emits B^2/2 candidates; skip buckets
+        # whose size says the sketch carries no information there. Exact
+        # duplicates (identical vectors, hot in EVERY table) belong to the
+        # cheap exact-dedup pass, not LSH.
+        sizes = sk.groupBy("table", "bucket").count()
+        sk = (
+            sk.join(sizes, ["table", "bucket"])
+            .where(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
     a = sk.withColumnRenamed("_id", "id_a")
     b = sk.withColumnRenamed("_id", "id_b")
     cand = (

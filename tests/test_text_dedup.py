@@ -96,3 +96,27 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     approx = {(r.query_id, r.neighbor_id) for r in similarity.lsh_topk(emb, q, k=5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5  # 24 tables x 6 planes on near-orthogonal noise vectors
+
+
+def test_minhash_lsh_hot_bucket_cap(spark):
+    """max_bucket_size skips over-common buckets: a triple of identical
+    docs (hot in EVERY band) is excluded at cap=2 while a genuine near-dup
+    pair still surfaces; with the cap off the triple's pairs return."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base), (2, base), (3, base),               # identical triple
+            (10, base + " extra one two"),                  # near-dup pair
+            (11, base + " extra one three"),
+            (20, "completely different text with no overlap at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert {(1, 2), (1, 3), (2, 3), (10, 11)} <= uncapped
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, max_bucket_size=2).collect()
+    }
+    assert (10, 11) in capped
+    assert not {(1, 2), (1, 3), (2, 3)} & capped  # hot triple skipped
