@@ -111,3 +111,75 @@ def test_stateful_join_apply_matched_and_unmatched(spark, fixture_dir, tmp_path)
     got_unmatched = {r.clip_id for r in got.where("NOT matched").collect()}
     assert got_unmatched.isdisjoint(want_matched_ids)
     assert len(got_matched) > 0
+
+
+def test_stateful_join_resumes_from_checkpoint(spark, fixture_dir, tmp_path):
+    """Kill the stateful join mid-stream and restart from the same
+    checkpoint: buffered per-key state (clips awaiting transcripts and
+    vice versa) must survive the restart — the resumed run's matched set
+    equals an uninterrupted run's."""
+    import os
+    import time
+
+    from dataflow_geobeam_spark.sources.clips import TRANSCRIPTS_SCHEMA
+
+    cdir, tdir = str(tmp_path / "c"), str(tmp_path / "t")
+    clips = spark.read.parquet(os.path.join(fixture_dir, "clips.parquet")).select(
+        "clip_id", "ts", "transcript"
+    ).limit(120)
+    clips.repartition(4, "clip_id").write.mode("overwrite").parquet(cdir)
+    # transcripts OF those clips (independent limits wouldn't overlap)
+    tr = spark.read.parquet(os.path.join(fixture_dir, "transcripts_late.parquet")).join(
+        spark.read.parquet(cdir).select(F.col("clip_id").alias("t_clip_id")),
+        "t_clip_id",
+        "left_semi",
+    )
+    tr.repartition(4, "t_clip_id").write.mode("overwrite").parquet(tdir)
+
+    def streams():
+        cs = (
+            spark.readStream.schema("clip_id string, ts timestamp, transcript string")
+            .option("maxFilesPerTrigger", "1").parquet(cdir)
+        )
+        ts = (
+            spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1").parquet(tdir)
+        )
+        return cs, ts
+
+    def run(out_dir, ck, stop_after_batches=None):
+        cs, ts = streams()
+        out = sjoin.stateful_join_apply(cs, ts)
+        q = (
+            out.writeStream.format("parquet").outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        if stop_after_batches is not None:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                p = q.lastProgress
+                if p and p["batchId"] >= stop_after_batches:
+                    break
+                time.sleep(0.3)
+            q.stop()          # kill mid-stream
+            q.awaitTermination(60)
+        else:
+            q.awaitTermination(600)
+        try:
+            rows = spark.read.parquet(out_dir).collect()
+        except Exception:  # nothing committed before the kill
+            return set()
+        return {(r.clip_id, r.t_transcript) for r in rows if r.matched}
+
+    # uninterrupted baseline
+    baseline = run(str(tmp_path / "out_base"), str(tmp_path / "ck_base"))
+    assert baseline
+
+    # interrupted + resumed: SAME output dir + checkpoint across both runs
+    ck = str(tmp_path / "ck_resume")
+    out_dir = str(tmp_path / "out_resume")
+    run(out_dir, ck, stop_after_batches=1)
+    resumed = run(out_dir, ck)
+    assert resumed == baseline
