@@ -51,6 +51,20 @@ class EpochMetricsListener(StreamingQueryListener):
             }
         except Exception:  # noqa: BLE001 - observability must never fail the job
             rec["observed"] = {}
+        try:
+            # late-data accounting: rows the watermark dropped, plus state
+            # size — per stateful operator per epoch
+            rec["state_operators"] = [
+                {
+                    "operator": getattr(so, "operatorName", ""),
+                    "rows_dropped_by_watermark": so.numRowsDroppedByWatermark,
+                    "state_rows": so.numRowsTotal,
+                    "state_bytes": so.memoryUsedBytes,
+                }
+                for so in (p.stateOperators or [])
+            ]
+        except Exception:  # noqa: BLE001
+            rec["state_operators"] = []
         self.progress.append(rec)
 
     def onQueryTerminated(self, event):
@@ -59,11 +73,17 @@ class EpochMetricsListener(StreamingQueryListener):
     def summary(self) -> dict:
         n = sum(p["num_input_rows"] for p in self.progress)
         secs = sum((p["duration_ms"].get("triggerExecution", 0)) for p in self.progress) / 1000.0
+        dropped = sum(
+            so.get("rows_dropped_by_watermark", 0)
+            for p in self.progress
+            for so in p.get("state_operators", [])
+        )
         return {
             "epochs": len(self.progress),
             "input_rows": n,
             "trigger_exec_sec": round(secs, 3),
             "rows_per_sec": round(n / secs, 1) if secs else None,
+            "rows_dropped_by_watermark": dropped,
         }
 
     def dump(self, path: str) -> None:
