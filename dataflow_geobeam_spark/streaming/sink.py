@@ -213,18 +213,76 @@ class ExactlyOnceParquetSink:
             if name.endswith(".json")
         ]
 
-    def committed_files(self) -> list[str]:
+    def committed_files(
+        self, as_of_epoch: int | None = None, use_compacted: bool = True
+    ) -> list[str]:
+        """Manifest-resolved file list.
+
+        ``as_of_epoch`` = time travel: only epochs <= N are visible (the
+        per-epoch manifests give snapshot granularity, like Iceberg's
+        snapshot ids). Compaction manifests are preferred for the epochs
+        they cover on full reads; time travel INSIDE a compacted range
+        falls back to the per-epoch manifests, which compaction never
+        deletes (an expire step could, trading history for file count).
+        """
+        manifests = self.committed_manifests()
+        epoch_ms = [m for m in manifests if "covers_max" not in m]
+        compacts = [m for m in manifests if "covers_max" in m]
+        if as_of_epoch is not None:
+            epoch_ms = [m for m in epoch_ms if m["epoch_id"] <= as_of_epoch]
+            compacts = [c for c in compacts if c["covers_max"] <= as_of_epoch]
+        best = max(compacts, key=lambda c: c["covers_max"], default=None)
         files = []
-        for m in self.committed_manifests():
+        if use_compacted and best is not None:
+            files += [self._join(best["dir"], f) for f in best["files"]]
+            epoch_ms = [m for m in epoch_ms if m["epoch_id"] > best["covers_max"]]
+        for m in epoch_ms:
             files += [self._join(m["dir"], f) for f in m["files"]]
         return files
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Snapshot read: only manifest-committed files are visible."""
-        files = self.committed_files()
+    def read(
+        self,
+        spark: SparkSession,
+        as_of_epoch: int | None = None,
+        use_compacted: bool = True,
+    ) -> DataFrame:
+        """Snapshot read: only manifest-committed files are visible.
+        ``as_of_epoch`` time-travels to the table state after that epoch."""
+        files = self.committed_files(as_of_epoch, use_compacted)
         if not files:
             raise FileNotFoundError(f"no committed snapshots in {self.table_dir}")
         return spark.read.parquet(*files)
+
+    # -- maintenance ----------------------------------------------------------
+
+    def compact(self, spark: SparkSession, up_to_epoch: int | None = None) -> dict:
+        """Rewrite the small per-epoch files of epochs <= up_to_epoch into
+        one compacted fileset + one manifest (the Iceberg rewrite_data_files
+        maintenance action). Lineage columns (_epoch_id, _source_partition)
+        are data, so they survive the rewrite; per-epoch manifests stay on
+        disk for time travel. Readers atomically switch to the compacted
+        fileset the moment its manifest renames in.
+        """
+        io = self._ensure_io()
+        epochs = [m["epoch_id"] for m in self.committed_manifests() if "covers_max" not in m]
+        if up_to_epoch is None:
+            up_to_epoch = max(epochs)
+        df = self.read(spark, as_of_epoch=up_to_epoch, use_compacted=False)
+        run_id = uuid.uuid4().hex[:12]
+        out_dir = self._join(DATA_DIR, f"compact={up_to_epoch}-{run_id}")
+        df.write.mode("overwrite").parquet(out_dir)
+        files = sorted(
+            f for f in io.listdir(out_dir) if f.endswith(".parquet") or f.endswith(".snappy")
+        )
+        manifest = {
+            "covers_max": up_to_epoch,
+            "covers": sorted(e for e in epochs if e <= up_to_epoch),
+            "dir": f"{DATA_DIR}/compact={up_to_epoch}-{run_id}",
+            "files": files,
+        }
+        path = self._join(MANIFEST_DIR, f"compact-{up_to_epoch:020d}.json")
+        io.write_atomic(path, json.dumps(manifest), f".tmp.{run_id}")
+        return manifest
 
     def read_latest(self, spark: SparkSession, key_cols: list[str]) -> DataFrame:
         """Merge-on-read for update-mode streams: latest epoch wins per key.

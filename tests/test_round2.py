@@ -459,3 +459,37 @@ def test_stateful_join_tws_matches_apply(spark, fixture_dir, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert a == b
     assert len(b) > 0
+
+
+# ---------------------------------------------------------------------------
+# sink: time travel + compaction (r2)
+# ---------------------------------------------------------------------------
+
+
+def test_sink_time_travel_and_compaction(spark, tmp_path):
+    from dataflow_geobeam_spark.streaming.sink import ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "tt"))
+    for epoch in range(3):
+        df = spark.createDataFrame([(epoch, f"v{epoch}_{i}") for i in range(4)], "k int, v string")
+        sink.write_batch(df, epoch)
+
+    full = sink.read(spark)
+    assert full.count() == 12
+    # time travel: state after epoch 1
+    asof1 = sink.read(spark, as_of_epoch=1)
+    assert asof1.count() == 8
+    assert set(r._epoch_id for r in asof1.collect()) == {0, 1}
+
+    # compact epochs <= 1 into one fileset
+    m = sink.compact(spark, up_to_epoch=1)
+    assert m["covers"] == [0, 1]
+    # full read switches to the compacted files + epoch 2, same rows
+    after = sink.read(spark)
+    assert after.count() == 12
+    assert {r.v for r in after.collect()} == {r.v for r in full.collect()}
+    # fewer files on the compacted path than raw per-epoch
+    assert len(sink.committed_files()) < len(sink.committed_files(use_compacted=False))
+    # time travel INSIDE the compacted range still works (per-epoch
+    # manifests are preserved)
+    assert sink.read(spark, as_of_epoch=0).count() == 4
