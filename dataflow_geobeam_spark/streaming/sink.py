@@ -247,11 +247,18 @@ class ExactlyOnceParquetSink:
         use_compacted: bool = True,
     ) -> DataFrame:
         """Snapshot read: only manifest-committed files are visible.
-        ``as_of_epoch`` time-travels to the table state after that epoch."""
+        ``as_of_epoch`` time-travels to the table state after that epoch.
+
+        Reads with mergeSchema so ADDITIVE schema evolution across epochs
+        (a new column appearing in a later micro-batch after a pipeline
+        upgrade) unions cleanly — older epochs surface NULL for the new
+        column, Iceberg's add-column semantics. Each epoch's exact schema
+        is also recorded in its manifest for audit.
+        """
         files = self.committed_files(as_of_epoch, use_compacted)
         if not files:
             raise FileNotFoundError(f"no committed snapshots in {self.table_dir}")
-        return spark.read.parquet(*files)
+        return spark.read.option("mergeSchema", "true").parquet(*files)
 
     # -- maintenance ----------------------------------------------------------
 

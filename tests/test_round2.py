@@ -493,3 +493,19 @@ def test_sink_time_travel_and_compaction(spark, tmp_path):
     # time travel INSIDE the compacted range still works (per-epoch
     # manifests are preserved)
     assert sink.read(spark, as_of_epoch=0).count() == 4
+
+
+def test_sink_additive_schema_evolution(spark, tmp_path):
+    """A new column appearing in a later epoch reads back cleanly: older
+    epochs surface NULL (Iceberg add-column semantics via mergeSchema)."""
+    from dataflow_geobeam_spark.streaming.sink import ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "evo"))
+    sink.write_batch(spark.createDataFrame([(1, "a")], "k int, v string"), 0)
+    sink.write_batch(
+        spark.createDataFrame([(2, "b", 9.5)], "k int, v string, score double"), 1
+    )
+    df = sink.read(spark)
+    assert "score" in df.columns
+    rows = {r.k: r.score for r in df.collect()}
+    assert rows[1] is None and rows[2] == 9.5
