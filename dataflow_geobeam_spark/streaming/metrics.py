@@ -99,3 +99,17 @@ def with_observed_counts(df: DataFrame, name: str = "engine_metrics") -> DataFra
         F.count(F.lit(1)).alias("rows"),
         F.sum(F.col("dur_ms").cast("long")).alias("sum_dur_ms"),
     )
+
+
+def partition_stats(sink, spark) -> DataFrame:
+    """Per-partition throughput from the sink's lineage columns: every
+    committed row carries (_epoch_id, _source_partition), so rows/partition
+    /epoch — the skew fingerprint of the stateful stage — is a query over
+    the committed table, not a side channel (north rule: per-partition
+    throughput metrics)."""
+    df = sink.read(spark)
+    return (
+        df.groupBy("_epoch_id", "_source_partition")
+        .agg(F.count(F.lit(1)).alias("rows_committed"))
+        .orderBy("_epoch_id", "_source_partition")
+    )

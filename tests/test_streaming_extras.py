@@ -207,3 +207,18 @@ def test_stream_static_enrichment_join(spark, fixture_dir, tmp_path):
     assert by_codec.get("wav") is False and by_codec.get("ogg") is True
     unknown = [r for r in rows if r.codec == "unknown"]
     assert all(r.lossy is None for r in unknown)
+
+
+def test_partition_stats_from_lineage(spark, tmp_path):
+    """Per-partition committed-row stats reconstruct from lineage columns."""
+    from dataflow_geobeam_spark.streaming.metrics import partition_stats
+    from dataflow_geobeam_spark.streaming.sink import ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "ps"))
+    df = spark.range(100).repartition(4).selectExpr("id AS k")
+    sink.write_batch(df, 0)
+    sink.write_batch(df, 1)
+    stats = partition_stats(sink, spark).collect()
+    assert sum(r.rows_committed for r in stats) == 200
+    assert {r._epoch_id for r in stats} == {0, 1}
+    assert len({r._source_partition for r in stats}) >= 2
