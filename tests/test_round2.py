@@ -1,9 +1,12 @@
-"""Round-2 regression tests: VERDICT/ADVICE fixes.
+"""Round-2 regression tests: VERDICT/ADVICE fixes + new round-2 surface.
 
 Covers: LSH-bucketed embedding near-dups (plan + correctness), single-scan
 mapInArrow sketching at dim=768, TakeOrderedAndProject top-k, null-safe
-exact-dedup keys, simhash long assembly, stateful-join in-window buffering,
-Hadoop-FS sink IO (file:// scheme), explode_frames hop guard.
+exact-dedup keys, simhash long assembly, stateful-join in-window buffering
+and the transformWithStateInPandas variant (protobuf-gated), Hadoop-FS
+sink IO (file:// scheme), sink time travel/compaction/schema evolution,
+IVF ANN recall + plan shape, multimodal resize/frame-sample plumbing,
+text metrics (stopword/BPE-ish/rolling hash), explode_frames hop guard.
 """
 
 from __future__ import annotations
