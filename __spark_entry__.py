@@ -69,7 +69,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data ops: similarity search ---
         "emb_topk_bruteforce": training_data.emb_topk_bruteforce,
         "emb_topk_lsh": training_data.emb_topk_lsh,
+        "emb_topk_ivf": training_data.emb_topk_ivf,
+        "emb_topk_lsh_d256": training_data.emb_topk_lsh_d256,
         "emb_near_dups": training_data.emb_near_dups,
+        "emb_near_dups_d256": training_data.emb_near_dups_d256,
         "emb_label_centroids": training_data.emb_label_centroids,
     }
 
@@ -144,11 +147,20 @@ def _text_metrics_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    # the LSH golden is deterministic (seeded hyperplanes); materialize it
-    # for the gate's sf before handing DuckDB the path
-    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_lsh_topk
+    # the ANN goldens are deterministic (seeded hyperplanes / centroids);
+    # materialize them for the gate's sf before handing DuckDB the paths
+    from dataflow_geobeam_spark.fixtures.generate import (
+        ensure_embeddings_hd,
+        ensure_golden_ivf_topk,
+        ensure_golden_lsh_topk,
+    )
 
     ensure_golden_lsh_topk("/root/testdata/sf0.01")
+    ensure_golden_ivf_topk("/root/testdata/sf0.01")
+    emb_hd = ensure_embeddings_hd("/root/testdata/sf0.01")
+    ensure_golden_lsh_topk(
+        "/root/testdata/sf0.01", emb_path=emb_hd, out_name="golden_lsh_topk_d256.parquet"
+    )
     return {
         "audio_window_tumbling": f"""
             SELECT CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS window_start_s,
@@ -520,6 +532,30 @@ def oracle_sql() -> dict[str, str]:
         "emb_topk_lsh": f"""
             SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
             FROM read_parquet('{FIXTURES_SF01}/golden_lsh_topk.parquet')
+        """,
+        "emb_topk_ivf": f"""
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+            FROM read_parquet('{FIXTURES_SF01}/golden_ivf_topk.parquet')
+        """,
+        "emb_topk_lsh_d256": f"""
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+            FROM read_parquet('{FIXTURES_SF01}/golden_lsh_topk_d256.parquet')
+        """,
+        "emb_near_dups_d256": f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM read_parquet('{FIXTURES_SF01}/embeddings_d256.parquet')
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+        """,
+        "events_approx_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+                   TRUE AS approx_within_tol
+            FROM events GROUP BY event_type
         """,
         "emb_near_dups": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -35,11 +35,13 @@ def synth_pcm(i: int, sr_hz: int, dur_ms: int) -> np.ndarray:
 
 
 def pcm_metrics(pcm: np.ndarray) -> tuple[int, float, float]:
-    """(n_samples, rms, peak) computed in float64 — the shared metric kernel.
+    """(n_samples, rms, peak) computed in float64 — reference formula.
 
-    Both the oracle generator and the engine's decode UDF call this exact
-    function, so per-row metric values are bit-identical and any mismatch
-    in the correctness gate isolates to the pipeline, not the math.
+    Round-3: no longer shared between engine and oracle. The engine's
+    decode UDF inlines this arithmetic (functions/decode.py) and the
+    fixture oracle reimplements it (fixtures/independent.py: metrics), so
+    the two sides can no longer share a kernel bug; this copy remains the
+    test-suite reference both are checked against.
     """
     n = int(pcm.shape[0])
     if n == 0:

@@ -15,8 +15,8 @@ import numpy
 import pandas
 import pyarrow
 
-try:  # engine decode deps (leaf modules, cheap once numpy is loaded)
-    from dataflow_geobeam_spark import audio_synth, codecs
+try:  # engine decode deps (leaf module, cheap once numpy is loaded)
+    from dataflow_geobeam_spark import codecs
 except Exception:  # pragma: no cover - engine not on PYTHONPATH: still useful
     pass
 

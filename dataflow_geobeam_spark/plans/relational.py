@@ -150,12 +150,28 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approx-distinct variant (HLL++): the scale path — one pass, no
-    distinct expansion. No SQL oracle (algorithm-specific estimates);
-    driver records a rows-only check."""
+    """Approx-distinct (HLL++, rsd=0.01) with a checkable tolerance gate.
+
+    HLL estimates can't hash-match an exact-count oracle, but the accuracy
+    CONTRACT can (round-2 VERDICT #4): emit the exact count plus a boolean
+    asserting |approx - exact| <= 3*rsd*exact. The oracle computes the
+    exact count and expects the boolean TRUE, so the driver gate now
+    hash-verifies this query instead of rows-only. At production scale
+    you'd run the approx aggregate alone (one pass, fixed-size sketch, no
+    distinct expansion) — this gate variant exists to prove the estimate
+    honors its error bound."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+    )
+    tol = F.lit(3 * 0.01) * F.col("n_users_exact").cast("double")
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (F.abs(F.col("approx_users").cast("double") - F.col("n_users_exact")) <= tol).alias(
+            "approx_within_tol"
+        ),
     )
 
 

@@ -29,7 +29,16 @@ def read_paginated(
     schema,
     max_pages: int = 10_000,
 ) -> DataFrame:
-    """Driver-side cursor pagination -> DataFrame (S6 pattern)."""
+    """Driver-side cursor pagination -> DataFrame (S6 pattern).
+
+    DEPRECATED for anything beyond driver-memory-sized feeds: every page
+    accumulates in a driver-side list before createDataFrame. Prefer
+    ``paginated_rest`` (the PySpark-4 Python DataSource below) — it fetches
+    pages lazily on executors with bounded memory — or
+    ``read_pages_distributed`` when the page count is known up front. Kept
+    because an unsplittable cursor endpoint with no page count has no other
+    correct shape, and small dimension feeds fit fine.
+    """
     rows: list[dict] = []
     for page in range(max_pages):
         batch = fetch_page(page)

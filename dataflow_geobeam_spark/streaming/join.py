@@ -266,6 +266,16 @@ class ClipTranscriptJoinProcessor(StatefulProcessor):
             "clip", "clip_ts_us long, transcript string, emitted boolean"
         )
         self._cands = handle.getListState("cands", "t_ts_us long, t_transcript string")
+        # active join-window deadline (ms). transformWithState keeps EVERY
+        # registered timer until it fires or is deleted — unlike
+        # applyInPandasWithState, where setTimeoutTimestamp REPLACES the
+        # previous timeout. Without tracking the active deadline, a timer
+        # anchored on an early buffered transcript (anchor = min cand ts,
+        # which precedes the clip ts) would fire before clip_ts + window and
+        # be treated as the join deadline — emitting a premature unmatched
+        # row and clearing state, silently dropping a still-timely
+        # transcript (round-2 ADVICE, medium).
+        self._deadline = handle.getValueState("deadline", "deadline_ms long")
         self._handle = handle
 
     def _emit(self, key, clip_ts_us, transcript, t_transcript, matched):
@@ -316,14 +326,27 @@ class ClipTranscriptJoinProcessor(StatefulProcessor):
         if anchor_us is not None:
             desired_ms = anchor_us // 1000 + JOIN_WINDOW_SECONDS * 1000 + 1000
             wm_ms = timerValues.getCurrentWatermarkInMs()
-            self._handle.registerTimer(max(desired_ms, wm_ms + 1000))
+            new_deadline = max(desired_ms, wm_ms + 1000)
+            prior = self._deadline.get()[0] if self._deadline.exists() else None
+            if prior != new_deadline:
+                if prior is not None:
+                    self._handle.deleteTimer(prior)
+                self._handle.registerTimer(new_deadline)
+                self._deadline.update((new_deadline,))
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        # only the tracked deadline is the join-window deadline; a stale
+        # timer surviving a deleteTimer race (or registered before the clip
+        # arrived and moved the anchor) must NOT evict state early
+        active = self._deadline.get()[0] if self._deadline.exists() else None
+        if active is not None and expiredTimerInfo.getExpiryTimeInMs() != active:
+            return
         clip_ts_us, transcript, emitted = (None, None, False)
         if self._clip.exists():
             clip_ts_us, transcript, emitted = self._clip.get()
         self._clip.clear()
         self._cands.clear()
+        self._deadline.clear()
         if clip_ts_us is not None and not emitted:
             yield self._emit(key, clip_ts_us, transcript, None, False)
 

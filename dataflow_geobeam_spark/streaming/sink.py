@@ -272,6 +272,13 @@ class ExactlyOnceParquetSink:
         """
         io = self._ensure_io()
         epochs = [m["epoch_id"] for m in self.committed_manifests() if "covers_max" not in m]
+        if not epochs:
+            # empty table, or everything already compacted + expired: a
+            # descriptive error beats max()'s bare ValueError (round-2
+            # ADVICE); callers treating this as a no-op can catch it
+            raise FileNotFoundError(
+                f"compact: no per-epoch manifests to compact in {self.table_dir}"
+            )
         if up_to_epoch is None:
             up_to_epoch = max(epochs)
         df = self.read(spark, as_of_epoch=up_to_epoch, use_compacted=False)

@@ -192,13 +192,25 @@ MD_HEADER = "## Streaming throughput (the headline metric, streaming form)"
 
 
 def rewrite_baseline_md(out: dict) -> None:
-    """Replace ALL prior streaming sections with one authoritative table."""
+    """Section-surgically replace the streaming section.
+
+    Round-3 fix (ADVICE): the round-2 form truncated everything AFTER the
+    streaming header to EOF — safe only while streaming was the last
+    section; any section appended later would be silently clobbered (the
+    same failure class bench_scaling fixed in commit 254da9e). Now only
+    the bounded [MD_HEADER, next '## ' heading) region is replaced.
+    """
     path = "BENCH/BASELINE.md"
-    head = ""
+    head, tail = "", ""
     if os.path.exists(path):
         with open(path) as f:
             content = f.read()
-        head = content.split(MD_HEADER)[0].rstrip() + "\n"
+        pre, _, rest = content.partition(MD_HEADER)
+        head = pre.rstrip() + "\n"
+        if rest:
+            nxt = rest.find("\n## ")
+            if nxt != -1:
+                tail = rest[nxt + 1 :]  # keep any later section verbatim
     rN, r4 = out["N"], out["4N"]
     md = f"""
 {MD_HEADER}
@@ -248,7 +260,7 @@ stream-dir preparation billed inside the N=1 timed region, and a listener
 race dropping final-epoch rows — see tools/bench_streaming.py docstring.
 """
     with open(path, "w") as f:
-        f.write(head + md)
+        f.write(head + md + ("\n" + tail if tail else ""))
 
 
 def main() -> None:
