@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "emb_near_dups",
     "pipeline_clean_corpus",
+    # round-3: ANN at realistic dimensionality (dim-256 fixture, 2k vectors
+    # at sf0.1) + the IVF probe path
+    "emb_near_dups_d256",
+    "emb_topk_ivf",
 ]
 
 
