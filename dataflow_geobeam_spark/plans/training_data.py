@@ -260,15 +260,20 @@ def emb_topk_lsh_d256(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_near_dups_d256(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at dim=256 / cosine >= 0.9 over the planted
     near-duplicate fixture table; oracle is DuckDB brute-force exact cosine,
-    so the gate checks recall AND precision at realistic width. Planted
-    pairs sit at cosine ~0.9988 (per-pair LSH miss probability ~1e-33 with
-    6 planes x 32 tables); random pairs at dim 256 sit near 0."""
+    so the gate checks recall AND precision at realistic width.
+
+    10 planes x 16 tables (vs the dim-64 default 4x32): at a 0.9 threshold
+    only near-identical pairs matter (planted dups sit at cosine ~0.9988,
+    per-plane agreement ~0.984, per-pair miss ~3e-14), so finer buckets
+    keep recall ~1 while cutting candidate volume ~20x — the knob the
+    operator docstring tells users to turn as N or dim grows (measured:
+    16 s -> ~2 s at sf0.1)."""
     from dataflow_geobeam_spark.fixtures.generate import ensure_embeddings_hd
 
     emb_path = ensure_embeddings_hd(sf_dir)
     emb = spark.read.parquet(emb_path)
     return similarity.near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.9, dim=256, n_planes=6, n_tables=32
+        emb, "vec_id", "embedding", threshold=0.9, dim=256, n_planes=10, n_tables=16
     )
 
 
