@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dups": training_data.emb_near_dups,
         "emb_near_dups_d256": training_data.emb_near_dups_d256,
         "emb_label_centroids": training_data.emb_label_centroids,
+        # --- multimodal: real from-spec image decode kernel (round 4) ---
+        "image_thumbnails": training_data.image_thumbnails,
     }
 
 
@@ -153,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         ensure_embeddings_hd,
         ensure_golden_ivf_topk,
         ensure_golden_lsh_topk,
+        ensure_golden_near_dups,
     )
 
     ensure_golden_lsh_topk("/root/testdata/sf0.01")
@@ -161,6 +164,21 @@ def oracle_sql() -> dict[str, str]:
     ensure_golden_lsh_topk(
         "/root/testdata/sf0.01", emb_path=emb_hd, out_name="golden_lsh_topk_d256.parquet"
     )
+    # round-4 ADVICE fix: near-dup oracles read numpy goldens computed with
+    # Spark's sequential fold accumulation instead of DuckDB's
+    # list_cosine_similarity (different accumulation order could flip a
+    # cosine at a 1e-6 rounding boundary and break the hash gate)
+    ensure_golden_near_dups("/root/testdata/sf0.01", threshold=0.45)
+    ensure_golden_near_dups(
+        "/root/testdata/sf0.01",
+        threshold=0.9,
+        emb_path=emb_hd,
+        out_name="golden_near_dups_d256.parquet",
+    )
+    # round-4: image fixture + thumbnail golden (independent PPM/BMP codecs)
+    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_thumbnails
+
+    ensure_golden_thumbnails("/root/testdata/sf0.01")
     return {
         "audio_window_tumbling": f"""
             SELECT CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS window_start_s,
@@ -542,14 +560,8 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{FIXTURES_SF01}/golden_lsh_topk_d256.parquet')
         """,
         "emb_near_dups_d256": f"""
-            WITH e AS (
-              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-              FROM read_parquet('{FIXTURES_SF01}/embeddings_d256.parquet')
-            )
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+            SELECT id_a, id_b, cosine
+            FROM read_parquet('{FIXTURES_SF01}/golden_near_dups_d256.parquet')
         """,
         "events_approx_users": """
             SELECT event_type,
@@ -557,12 +569,13 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS approx_within_tol
             FROM events GROUP BY event_type
         """,
-        "emb_near_dups": """
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        "emb_near_dups": f"""
+            SELECT id_a, id_b, cosine
+            FROM read_parquet('{FIXTURES_SF01}/golden_near_dups.parquet')
+        """,
+        "image_thumbnails": f"""
+            SELECT img_id, container, thumb_md5, thumb_len
+            FROM read_parquet('{FIXTURES_SF01}/golden_thumbnails.parquet')
         """,
         "emb_label_centroids": """
             WITH e AS (SELECT label, unnest(embedding) AS v FROM embeddings)

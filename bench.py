@@ -96,17 +96,30 @@ def main() -> None:
         materialize(qs["audio_window_tumbling"](spark, SF_DIR))
 
     # this sandbox shows heavy CPU-steal noise (identical runs vary 8-90s);
-    # report min-of-2 per query — the engine's actual capability
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        if name not in qs:
-            continue
-        best = float("inf")
-        for _ in range(2):
+    # round-3 min-of-2 let a stolen pair print 6.94 s for a pinned 2.57 s
+    # capability (VERDICT #2). Round-4: INTERLEAVED min-of-3 — three full
+    # passes over the suite (steal bursts then hit different queries each
+    # pass, not the same query twice in a row) — plus a variance-aware
+    # retry: if the two best samples still disagree by >30% the min is
+    # suspect, so take up to 2 extra samples. Raw samples are recorded in
+    # the output for audit.
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES if name in qs}
+    for _ in range(3):
+        for name in samples:
             t0 = time.time()
             materialize(qs[name](spark, SF_DIR))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples[name].append(round(time.time() - t0, 3))
+    for name, s in samples.items():
+        retries = 0
+        while retries < 2:
+            best2 = sorted(s)[:2]
+            if best2[1] <= 1.3 * best2[0]:
+                break
+            t0 = time.time()
+            materialize(qs[name](spark, SF_DIR))
+            s.append(round(time.time() - t0, 3))
+            retries += 1
+    timings = {name: min(s) for name, s in samples.items()}
 
     n_clips = rows_for_sf(sf)
     flagship = timings.get("audio_window_tumbling", float("nan"))
@@ -120,6 +133,7 @@ def main() -> None:
         "clips_per_sec": round(n_clips / flagship, 1) if flagship else None,
         "n_clips": n_clips,
         "cpus": int(CPUS),
+        "samples": samples,
     }
     print(json.dumps(result))
     spark.stop()

@@ -563,6 +563,67 @@ def ensure_embeddings_hd(
     return path
 
 
+def ensure_golden_near_dups(
+    sf_dir: str,
+    root: str = DEFAULT_FIXTURES_ROOT,
+    threshold: float = 0.45,
+    emb_path: str | None = None,
+    out_name: str = "golden_near_dups.parquet",
+) -> str | None:
+    """Numpy golden for the embedding near-dup queries: ALL-pairs exact
+    cosine >= threshold, with the SAME sequential (cumsum) accumulation
+    Spark's aggregate-fold uses (round-4 ADVICE fix: the DuckDB
+    ``list_cosine_similarity`` oracle accumulates in a different order, so
+    a cosine sitting within ~1e-15 of a 1e-6 rounding boundary could round
+    differently in the two engines and flip the hash gate).
+
+    Pairs are screened with one matmul (order-difference ~1e-15, far
+    inside the 1e-3 screen margin), then every pair near or above the
+    threshold is re-scored with the exact sequential fold before the
+    rounded comparison — bit-for-bit the Spark value on the pairs that
+    matter, O(N^2) only in the cheap matmul.
+    """
+    emb_path = emb_path or os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(emb_path):
+        return None
+    out_dir = fixtures_dir_for(sf_dir, root)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, out_name)
+    if os.path.exists(path):
+        return path
+
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    norms[norms == 0] = 1.0
+    approx = (v @ v.T) / np.outer(norms, norms)
+    ii, jj = np.where(np.triu(approx >= threshold - 1e-3, k=1))
+
+    rows = []
+    for a, b in zip(ii.tolist(), jj.tolist()):
+        va, vb = v[a], v[b]
+        dot = np.cumsum(va * vb)[-1]
+        na = np.sqrt(np.cumsum(va * va)[-1])
+        nb = np.sqrt(np.cumsum(vb * vb)[-1])
+        cos = _spark_round6(dot / (na * nb))
+        if cos >= threshold:
+            id_a, id_b = int(ids[a]), int(ids[b])
+            if id_a > id_b:
+                id_a, id_b = id_b, id_a
+            rows.append({"id_a": id_a, "id_b": id_b, "cosine": cos})
+    tbl_out = pa.Table.from_pydict(
+        {
+            "id_a": pa.array([r["id_a"] for r in rows], type=pa.int64()),
+            "id_b": pa.array([r["id_b"] for r in rows], type=pa.int64()),
+            "cosine": pa.array([r["cosine"] for r in rows], type=pa.float64()),
+        }
+    )
+    pq.write_table(tbl_out, path, compression="zstd")
+    return path
+
+
 def ensure_golden_ivf_topk(
     sf_dir: str,
     root: str = DEFAULT_FIXTURES_ROOT,
@@ -628,4 +689,118 @@ def ensure_golden_ivf_topk(
         }
     )
     pq.write_table(tbl_out, path, compression="zstd")
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Round-4: image fixture + thumbnail golden (the first REAL multimodal
+# kernel — PPM/BMP decoded from spec, no imaging library)
+# ---------------------------------------------------------------------------
+
+IMG_ROWS_PER_SF = 6400  # sf0.01 -> 64, sf0.1 -> 640
+THUMB_W, THUMB_H = 16, 12
+
+
+def ensure_images(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+    """Idempotent fixtures/<sf>/images.parquet: (img_id string, bytes
+    binary, fmt string, width int32, height int32).
+
+    Deterministic gradient+noise RGB images, alternating PPM (P6, with a
+    header comment) and 24bpp BMP containers, encoded by the INDEPENDENT
+    from-spec writers in fixtures.independent (the engine's decoders in
+    functions/imaging.py never touch these bytes at generation time).
+    ~8% of payloads are truncated mid-raster: decode-failure rows the
+    engine must surface as NULL thumbnails (F1/make_valid semantics).
+    """
+    out_dir = fixtures_dir_for(sf_dir, root)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "images.parquet")
+    if os.path.exists(path):
+        return path
+    n = max(64, int(IMG_ROWS_PER_SF * sf_from_dir(sf_dir)))
+    ids, bufs, fmts, ws, hs = [], [], [], [], []
+    for i in range(n):
+        rng = np.random.default_rng([SEED, 9_000_000 + i])
+        w = 16 + int(rng.integers(0, 49))
+        h = 12 + int(rng.integers(0, 37))
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                ((xx * 255) // max(1, w - 1)).astype(np.uint8),
+                ((yy * 255) // max(1, h - 1)).astype(np.uint8),
+                rng.integers(0, 256, (h, w), dtype=np.uint8),
+            ],
+            axis=-1,
+        )
+        fmt = "ppm" if i % 2 == 0 else "bmp"
+        buf = independent.ppm_bytes(img) if fmt == "ppm" else independent.bmp_bytes(img)
+        if i % 13 == 5:  # truncate mid-raster; magic bytes survive
+            buf = buf[: max(8, int(len(buf) * 0.6))]
+        ids.append(f"img{i:06d}")
+        bufs.append(buf)
+        fmts.append(fmt)
+        ws.append(w)
+        hs.append(h)
+    tbl = pa.Table.from_pydict(
+        {
+            "img_id": pa.array(ids),
+            "bytes": pa.array(bufs, type=pa.binary()),
+            "fmt": pa.array(fmts),
+            "width": pa.array(ws, type=pa.int32()),
+            "height": pa.array(hs, type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd")
+    return path
+
+
+def ensure_golden_thumbnails(
+    sf_dir: str,
+    root: str = DEFAULT_FIXTURES_ROOT,
+    width: int = THUMB_W,
+    height: int = THUMB_H,
+) -> str:
+    """Golden for the image_thumbnails driver query: per image, the
+    container type, md5 + length of the expected thumbnail bytes (NULL for
+    truncated payloads). Decode/resize via the independent kernels
+    (regex-parse PPM, per-row-loop BMP, per-pixel NN resize); the output
+    PPM header is written from the documented contract
+    ("P6\\n{w} {h}\\n255\\n" + raw RGB) — the engine's encode_ppm never
+    runs here.
+    """
+    import hashlib
+
+    images_path = ensure_images(sf_dir, root)
+    out_dir = fixtures_dir_for(sf_dir, root)
+    path = os.path.join(out_dir, "golden_thumbnails.parquet")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(images_path)
+    ids = t.column("img_id").to_pylist()
+    bufs = t.column("bytes").to_pylist()
+    fmts = t.column("fmt").to_pylist()
+    md5s, lens = [], []
+    for buf, fmt in zip(bufs, fmts):
+        try:
+            img = (
+                independent.decode_ppm_image(buf)
+                if fmt == "ppm"
+                else independent.decode_bmp_image(buf)
+            )
+            small = independent.nn_resize(img, width, height)
+            thumb = f"P6\n{width} {height}\n255\n".encode() + small.tobytes()
+            md5s.append(hashlib.md5(thumb).hexdigest())
+            lens.append(len(thumb))
+        except ValueError:
+            md5s.append(None)
+            lens.append(None)
+    tbl = pa.Table.from_pydict(
+        {
+            "img_id": pa.array(ids),
+            "container": pa.array(fmts),
+            "thumb_md5": pa.array(md5s),
+            "thumb_len": pa.array(lens, type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd")
     return path

@@ -205,3 +205,95 @@ def ivf_centroids(dim: int, n_cells: int, seed: int = 42) -> np.ndarray:
     """L2-normalized ``default_rng([seed, 777])`` gaussian directions."""
     c = np.random.default_rng([seed, 777]).standard_normal((n_cells, dim))
     return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# image containers (round-4): PPM/BMP written & read from their public
+# specs, independently of functions/imaging.py (regex header parse + per-
+# row loops here vs token walker + vectorized numpy there)
+# ---------------------------------------------------------------------------
+
+
+def ppm_bytes(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> P6 with a comment line (exercises the engine's
+    comment-skipping header parser)."""
+    h, w = img.shape[:2]
+    header = f"P6\n# independent fixture encoder\n{w} {h}\n255\n".encode()
+    return header + bytes(img.astype(np.uint8).tobytes())
+
+
+def decode_ppm_image(buf: bytes) -> np.ndarray:
+    """P6 decode via a regex over the header region (second implementation
+    — the engine walks tokens byte-by-byte)."""
+    import re
+
+    m = re.match(
+        rb"P6[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*(\d+)[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*"
+        rb"(\d+)[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*(\d+)[ \t\r\n]",
+        buf,
+    )
+    if not m:
+        raise ValueError("independent ppm: bad header")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        raise ValueError("independent ppm: only maxval 255")
+    raster = buf[m.end() : m.end() + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("independent ppm: truncated raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def bmp_bytes(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24bpp BI_RGB BMP: 14-byte file header +
+    40-byte BITMAPINFOHEADER, rows bottom-up, BGR, padded to 4 bytes."""
+    import struct as _s
+
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    pad = b"\x00" * (stride - w * 3)
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1]  # RGB -> BGR
+        body += row.astype(np.uint8).tobytes() + pad
+    data_offset = 14 + 40
+    file_size = data_offset + len(body)
+    header = b"BM" + _s.pack("<IHHI", file_size, 0, 0, data_offset)
+    dib = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + bytes(body)
+
+
+def decode_bmp_image(buf: bytes) -> np.ndarray:
+    """24bpp BMP decode with an explicit per-row loop (second
+    implementation — the engine reshapes one numpy buffer)."""
+    import struct as _s
+
+    if buf[:2] != b"BM":
+        raise ValueError("independent bmp: bad magic")
+    data_offset = _s.unpack_from("<I", buf, 10)[0]
+    w, h = _s.unpack_from("<ii", buf, 18)
+    bpp = _s.unpack_from("<H", buf, 28)[0]
+    if bpp != 24:
+        raise ValueError("independent bmp: only 24bpp")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for y in range(h):
+        off = data_offset + y * stride
+        row = np.frombuffer(buf[off : off + w * 3], dtype=np.uint8).reshape(w, 3)
+        rows.append(row[:, ::-1])  # BGR -> RGB
+    img = np.stack(rows)
+    return img[::-1] if flip else img
+
+
+def nn_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize via explicit per-pixel loops, same
+    pixel-center convention: src = floor((dst + 0.5) * src/dst)."""
+    src_h, src_w = img.shape[:2]
+    out = np.zeros((height, width, 3), dtype=np.uint8)
+    for y in range(height):
+        sy = min(int((y + 0.5) * src_h / height), src_h - 1)
+        for x in range(width):
+            sx = min(int((x + 0.5) * src_w / width), src_w - 1)
+            out[y, x] = img[sy, sx]
+    return out

@@ -88,6 +88,57 @@ def minhash_signature_wide(
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_buckets(
+    sh: DataFrame, k: int, bands: int, rows: int
+) -> DataFrame:
+    """(_id, band, bucket) LSH band assignment from (_id, shingles) rows:
+    signature via ``minhash_signature_wide``, then one xxhash64 bucket per
+    band over its r signature slots. Map-local expansion to ``bands`` rows
+    per doc; the bucket space is the full 64-bit hash range, so routine
+    occupancy stays ~1 regardless of corpus size (unlike the sign-sketch
+    buckets in operators/similarity, which have only 2^n_planes)."""
+    sig = minhash_signature_wide(sh, "_id", "shingles", k)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(",", *[F.col(f"m{b * rows + r_}") for r_ in range(rows)]),
+                F.lit(999),
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select("_id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+
+
+def minhash_cap_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Drop accounting for ``minhash_lsh_pairs``'s hot-bucket cap (round-4
+    VERDICT #7): one row of (cap, n_sketch_rows, n_buckets_total,
+    n_buckets_dropped, n_rows_dropped, dropped_row_share, max_bucket) —
+    what the silent cap excluded, for a 100 TB run's audit trail. Opt-in
+    diagnostic pass; see operators.similarity.bucket_cap_stats."""
+    from dataflow_geobeam_spark.operators.similarity import bucket_cap_stats
+
+    sh = df.select(
+        F.col(id_col).alias("_id"), T.shingles(text_col, n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    buckets = minhash_band_buckets(sh, k, bands, rows)
+    # minhash buckets live in the 64-bit hash space: no occupancy cliff, so
+    # a fixed cap (not "auto") is the right policy here
+    return bucket_cap_stats(buckets, ["band", "bucket"], df, 2**63, max_bucket_size)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -114,7 +165,8 @@ def minhash_lsh_pairs(
     bucket) groups bigger than the cap before the self-join: far above the
     routine occupancy of a healthy signature space, far below the
     degenerate boilerplate bucket that would emit B^2/2 candidates. Pass
-    ``None`` to disable (verification runs only).
+    ``None`` to disable (verification runs only). ``minhash_cap_stats``
+    reports what a given cap excludes (round-4 drop accounting).
 
     Stages (all WholeStageCodegen, see minhash_signature_wide for why):
     shuffle 1: explode shingles -> partial-min hash-agg per id  (signature)
@@ -124,22 +176,7 @@ def minhash_lsh_pairs(
     sh = df.select(F.col(id_col).alias("_id"), T.shingles(text_col, n).alias("shingles")).where(
         F.size("shingles") > 0
     )
-    sig = minhash_signature_wide(sh, "_id", "shingles", k)
-
-    # band bucket hash from plain columns: xxhash64 over the band's r slots
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.concat_ws(",", *[F.col(f"m{b * rows + r_}") for r_ in range(rows)]),
-                F.lit(999),
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    buckets = sig.select("_id", F.explode(F.array(*band_structs)).alias("b")).select(
-        "_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
-    )
+    buckets = minhash_band_buckets(sh, k, bands, rows)
 
     if max_bucket_size is not None:
         # hot-bucket guard, ON BY DEFAULT (round-3): a (band, bucket) shared

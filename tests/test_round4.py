@@ -1,0 +1,295 @@
+"""Round-4 regression tests: corpus-scaled auto bucket cap (ADVICE fix),
+cap drop accounting, runtime exchange-reuse pinning for both LSH
+self-joins, and the TPC-H skew trial for the salted aggregate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# auto cap: no empty-result cliff when routine occupancy crosses a fixed cap
+# ---------------------------------------------------------------------------
+
+
+def _corpus_with_planted_pair(spark, n=3000, dim=8, seed=11):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    # vec 1 = vec 0 + tiny noise: cosine ~0.9999
+    vecs[1] = vecs[0] + 0.001 * rng.standard_normal(dim).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_auto_cap_scales_with_corpus(spark):
+    """The round-3 fixed cap's cliff (ADVICE-medium): with coarse buckets,
+    routine occupancy N/2^n_planes crosses any fixed cap as N grows and the
+    operator silently returns empty. Here: 3000 vectors, n_planes=1 -> 2
+    buckets of ~1500 > 1000, so the old default drops EVERY bucket; the
+    auto cap (8x uniform share = 12000) keeps them and finds the planted
+    near-identical pair."""
+    from dataflow_geobeam_spark.operators.similarity import near_dup_pairs
+
+    emb = _corpus_with_planted_pair(spark)
+    kw = dict(threshold=0.99, dim=8, n_planes=1, n_tables=2)
+
+    fixed = near_dup_pairs(emb, "vec_id", "embedding", max_bucket_size=1000, **kw)
+    assert fixed.count() == 0  # the cliff the ADVICE described
+
+    auto = near_dup_pairs(emb, "vec_id", "embedding", **kw)  # default = "auto"
+    pairs = {(r.id_a, r.id_b) for r in auto.collect()}
+    assert (0, 1) in pairs
+
+
+def test_auto_cap_matches_fixed_cap_at_small_n(spark, sf_dir):
+    """Below the floor the auto cap resolves to the same 1000 the round-3
+    default used — driver queries are unchanged by the default switch."""
+    from dataflow_geobeam_spark.operators.similarity import near_dup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    kw = dict(threshold=0.45, dim=64, n_planes=4, n_tables=32)
+    auto = set(map(tuple, near_dup_pairs(emb, "vec_id", "embedding", **kw).collect()))
+    fixed = set(
+        map(
+            tuple,
+            near_dup_pairs(
+                emb, "vec_id", "embedding", max_bucket_size=1000, **kw
+            ).collect(),
+        )
+    )
+    assert auto == fixed and len(auto) > 0
+
+
+# ---------------------------------------------------------------------------
+# cap drop accounting (VERDICT #7)
+# ---------------------------------------------------------------------------
+
+
+def test_near_dup_cap_stats_reports_degenerate_drops(spark):
+    from dataflow_geobeam_spark.operators.similarity import near_dup_cap_stats
+
+    vec = [float(x) for x in np.random.default_rng(7).standard_normal(64)]
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(1100)], "vec_id long, embedding array<float>"
+    )
+    row = near_dup_cap_stats(
+        emb, "vec_id", "embedding", dim=64, n_planes=4, n_tables=32
+    ).collect()[0]
+    # identical vectors: one hot bucket per table, every sketch row inside it
+    assert row.cap == 1000  # auto floor (8 * 1100 / 16 = 550 < 1000)
+    assert row.n_sketch_rows == 1100 * 32
+    assert row.n_buckets_dropped == 32
+    assert row.n_rows_dropped == 1100 * 32
+    assert row.dropped_row_share == 1.0
+    assert row.max_bucket == 1100
+
+
+def test_near_dup_cap_stats_zero_on_healthy_corpus(spark, sf_dir):
+    from dataflow_geobeam_spark.operators.similarity import near_dup_cap_stats
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    row = near_dup_cap_stats(
+        emb, "vec_id", "embedding", dim=64, n_planes=4, n_tables=32
+    ).collect()[0]
+    assert row.n_buckets_dropped == 0
+    assert row.dropped_row_share == 0.0
+    assert row.n_sketch_rows > 0
+
+
+def test_minhash_cap_stats_accounting(spark):
+    from dataflow_geobeam_spark.operators.dedup import minhash_cap_stats
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact boilerplate document text repeated verbatim") for i in range(1100)]
+        + [(5000 + i, f"unique document number {i} with its own words {i * 7}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    row = minhash_cap_stats(docs, "doc_id", "text").collect()[0]
+    # the 1100 identical docs are hot in all 16 bands; the 20 unique docs'
+    # buckets stay tiny
+    assert row.cap == 1000
+    assert row.n_buckets_dropped == 16
+    assert row.n_rows_dropped == 1100 * 16
+    assert 0.9 < row.dropped_row_share < 1.0
+    assert row.max_bucket == 1100
+
+
+# ---------------------------------------------------------------------------
+# runtime exchange reuse in both LSH self-joins (VERDICT #1)
+# ---------------------------------------------------------------------------
+
+
+def _executed_final_plan(df) -> str:
+    """Force execution, then return the AQE FINAL plan string.
+
+    ``collect()`` (not a noop write, which spawns a separate
+    QueryExecution) so the final adaptive plan lands on THIS DataFrame's
+    queryExecution."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    return plan
+
+
+def test_minhash_self_join_reuses_signature_exchange(spark, sf_dir):
+    """The dominant LSH stage (shingle -> signature -> band explode ->
+    (band, bucket) exchange) must execute ONCE: both self-join branches
+    read the same exchange. The dumped initial plan shows the subtree
+    twice (round-3 VERDICT #1); this pins that the EXECUTED plan collapses
+    the second copy into a ReusedExchange."""
+    from dataflow_geobeam_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=64, threshold=0.5)
+    plan = _executed_final_plan(out)
+    assert "ReusedExchange" in plan
+
+
+def test_near_dup_self_join_reuses_sketch_exchange(spark, sf_dir):
+    from dataflow_geobeam_spark.operators.similarity import near_dup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, dim=64, n_planes=4, n_tables=32
+    )
+    plan = _executed_final_plan(out)
+    assert "ReusedExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# real image decode kernel: from-spec PPM/BMP + NN resize (VERDICT #5)
+# ---------------------------------------------------------------------------
+
+
+def _gradient_img(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_imaging_roundtrip_and_cross_impl():
+    """Engine decoders invert the independent encoders and vice versa, and
+    both NN resizes agree — two implementations, one spec."""
+    from dataflow_geobeam_spark.fixtures import independent as I
+    from dataflow_geobeam_spark.functions import imaging as E
+
+    for shape in [(1, 1), (12, 16), (33, 7), (48, 64)]:
+        img = _gradient_img(*shape)
+        assert (E.decode_ppm(I.ppm_bytes(img)) == img).all()
+        assert (E.decode_bmp(I.bmp_bytes(img)) == img).all()
+        assert (I.decode_ppm_image(E.encode_ppm(img)) == img).all()
+        for tw, th in [(16, 12), (5, 4)]:
+            assert (E.resize_nearest(img, tw, th) == I.nn_resize(img, tw, th)).all()
+
+
+def test_imaging_rejects_malformed():
+    from dataflow_geobeam_spark.functions import imaging as E
+
+    bad = [
+        b"P6\n10 10\n255\n" + b"x" * 10,        # truncated raster
+        b"P6\n0 5\n255\n",                       # bad dims
+        b"P6\n3 3\n65535\n" + b"\x00" * 27,      # 16-bit maxval unsupported
+        b"BMshort",                               # truncated bmp header
+        b"GIF89a....",                            # unsupported container
+    ]
+    for buf in bad:
+        with pytest.raises(E.ImageDecodeError):
+            E.decode_image(buf)
+
+
+def test_bmp_padding_and_bottom_up():
+    """Width 7 forces 3 pad bytes per row; positive height means bottom-up
+    storage — both must invert exactly."""
+    from dataflow_geobeam_spark.fixtures import independent as I
+    from dataflow_geobeam_spark.functions import imaging as E
+
+    img = _gradient_img(5, 7)
+    buf = I.bmp_bytes(img)
+    assert (len(buf) - 54) % 4 == 0  # padded rows
+    assert (E.decode_bmp(buf) == img).all()
+
+
+def test_image_thumbnails_query_matches_golden(spark, sf_dir):
+    """End-to-end: the Spark mapInArrow pipeline over the image fixture
+    reproduces the independent golden byte-for-byte (md5), with NULL
+    thumbnails exactly on the truncated payloads."""
+    import pyarrow.parquet as pq
+
+    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_thumbnails
+    from dataflow_geobeam_spark.plans.training_data import image_thumbnails
+
+    golden_path = ensure_golden_thumbnails(sf_dir)
+    got = {r.img_id: (r.container, r.thumb_md5, r.thumb_len)
+           for r in image_thumbnails(spark, sf_dir).collect()}
+    g = pq.read_table(golden_path).to_pylist()
+    want = {r["img_id"]: (r["container"], r["thumb_md5"], r["thumb_len"]) for r in g}
+    assert got == want
+    assert any(v[1] is None for v in want.values())  # corrupt rows exist
+    assert sum(v[1] is not None for v in want.values()) > len(want) // 2
+
+
+# ---------------------------------------------------------------------------
+# salted aggregate on a skewed TPC-H-style key (VERDICT #6)
+# ---------------------------------------------------------------------------
+
+
+def test_salted_sum_agg_tpch_hot_customer(spark, sf_dir):
+    """One hot customer owns ~90% of order rows: the salted two-phase
+    aggregate must produce byte-identical results to the plain groupBy
+    while shrinking the max (key, salt) slice weight >= 4x."""
+    from dataflow_geobeam_spark.operators.skew import (
+        add_weighted_salt,
+        salted_sum_agg,
+        slice_weights,
+    )
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    # replicate one customer's orders to manufacture the hot key
+    hot_key = orders.select("o_custkey").first()[0]
+    hot = orders.where(F.col("o_custkey") == hot_key)
+    n_total = orders.count()
+    n_hot = hot.count()
+    reps = max(2, (9 * n_total) // max(1, n_hot))
+    skewed = orders.unionAll(
+        hot.crossJoin(spark.range(reps).select(F.lit(1).alias("_r"))).drop("_r")
+    ).withColumn("o_rowid", F.monotonically_increasing_id())
+
+    plain = (
+        skewed.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    salted = salted_sum_agg(
+        skewed,
+        keys=["o_custkey"],
+        value_col="o_totalprice",
+        id_col="o_rowid",
+        weight_col="o_totalprice",
+        weight_per_slice=float(
+            skewed.agg(F.sum("o_totalprice")).collect()[0][0] / 64.0
+        ),
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+    # partition-balance: max slice shrinks >= 4x once the hot key fans out
+    unsalted_rows = skewed.withColumn("salt", F.lit(0))
+    w_plain = slice_weights(unsalted_rows, ["o_custkey"], "o_totalprice")
+    w_salted = slice_weights(
+        add_weighted_salt(
+            skewed,
+            ["o_custkey"],
+            id_col="o_rowid",
+            weight_col="o_totalprice",
+            weight_per_slice=float(
+                skewed.agg(F.sum("o_totalprice")).collect()[0][0] / 64.0
+            ),
+        ),
+        ["o_custkey"],
+        "o_totalprice",
+    )
+    assert w_salted[0] * 4 <= w_plain[0]

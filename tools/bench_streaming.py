@@ -220,6 +220,7 @@ def run_streaming(cpus: int) -> dict:
     warm_work = tempfile.mkdtemp(prefix=f"stream_warm_{cpus}_")
     warm_stream = os.path.join("/dev/shm", f"stream_warm_{cpus}_{os.getpid()}")
     os.makedirs(warm_stream, exist_ok=True)
+    wq = None
     try:
         for b in range(8):
             name = f"part-{b:05d}.parquet"
@@ -237,6 +238,16 @@ def run_streaming(cpus: int) -> dict:
         )
         wq.awaitTermination(600)
     finally:
+        # round-4 ADVICE fix: on a warm-up timeout the query is still
+        # running — stop it (and wait for the stop to land) BEFORE
+        # deleting its stream dir and checkpoint, or the rmtree races the
+        # live query and can wedge the timed run that follows
+        try:
+            if wq is not None:
+                wq.stop()
+                wq.awaitTermination(60)
+        except Exception:  # noqa: BLE001 - already-terminated is fine
+            pass
         shutil.rmtree(warm_work, ignore_errors=True)
         shutil.rmtree(warm_stream, ignore_errors=True)
 
