@@ -46,10 +46,20 @@ def build_corpus(replicate: int, skew_frac: float = 0.0) -> tuple[str, int]:
     import pyarrow.parquet as pq
 
     tag = f"{replicate}x" + (f"_skew{int(skew_frac * 100)}" if skew_frac else "")
-    path = f"/dev/shm/dedup_corpus_{tag}.parquet"
-    if os.path.exists(path):
-        t = pq.read_table(path, columns=["doc_id"])
-        return path, t.num_rows
+    # a DIRECTORY of 64 part files, NOT one file: a single small parquet
+    # file is one Spark scan split regardless of row groups, which
+    # serializes the dominant shingle/explode/partial-min stage and fakes
+    # efficiency ~0.25 at every parallelism level (measured) — the
+    # micro-scale analog of writing one giant unsplittable file at 100 TB
+    path = f"/dev/shm/dedup_corpus_{tag}"
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        n = sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        return path, n
     src = pq.read_table(os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"])
     base_ids = src.column("doc_id").to_pylist()
     base_texts = src.column("text").to_pylist()
@@ -62,13 +72,25 @@ def build_corpus(replicate: int, skew_frac: float = 0.0) -> tuple[str, int]:
     n_skew = int(n * skew_frac)
     for j in range(n_skew):
         texts[j] = BOILERPLATE
-    pq.write_table(
-        pa.Table.from_pydict(
-            {"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts)}
-        ),
-        path,
-        compression="zstd",
-    )
+    os.makedirs(path, exist_ok=True)
+    n_files = 64
+    per = (n + n_files - 1) // n_files
+    for f_idx in range(n_files):
+        lo, hi = f_idx * per, min((f_idx + 1) * per, n)
+        if lo >= hi:
+            break
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(ids[lo:hi], type=pa.int64()),
+                    "text": pa.array(texts[lo:hi]),
+                }
+            ),
+            os.path.join(path, f"part-{f_idx:05d}.parquet"),
+            compression="zstd",
+        )
+    with open(done, "w") as f:
+        f.write("ok")
     return path, n
 
 
