@@ -222,7 +222,7 @@ def _auto_cap_col(df: DataFrame, n_buckets: int) -> Column:
     N arrives via a broadcast one-row count of the input — a zero-column
     scan Catalyst prunes to row counting (cheap even at 100 TB relative to
     the sketch pass, and metadata-only where aggregate pushdown applies).
-    The caller must crossJoin(_corpus_count(df)) first.
+    The caller must attach the count row via ``_with_corpus_count`` first.
     """
     return F.greatest(
         F.lit(AUTO_CAP_FLOOR).cast("long"),
@@ -231,7 +231,18 @@ def _auto_cap_col(df: DataFrame, n_buckets: int) -> Column:
 
 
 def _corpus_count(df: DataFrame) -> DataFrame:
+    """One row: (_corpus_n = count(*))."""
     return df.select(F.count(F.lit(1)).alias("_corpus_n"))
+
+
+def _with_corpus_count(sk: DataFrame, source: DataFrame) -> DataFrame:
+    """Attach the broadcast one-row corpus count. Plans as a 1-row-build
+    BroadcastNestedLoopJoin (Catalyst folds any constant equi-key and
+    pushes the cap predicate into the join condition) — O(N) stream-side
+    work, the standard scalar-broadcast shape. The no-cartesian plan tests
+    permit exactly this node and nothing else (condition must reference
+    ``_corpus_n``)."""
+    return sk.crossJoin(F.broadcast(_corpus_count(source)))
 
 
 def near_dup_pairs(
@@ -285,7 +296,7 @@ def near_dup_pairs(
         sk = sk.withColumn("_bsz", F.count(F.lit(1)).over(w))
         if max_bucket_size == "auto":
             cap = _auto_cap_col(df, 2**n_planes)
-            sk = sk.crossJoin(F.broadcast(_corpus_count(df)))
+            sk = _with_corpus_count(sk, df)
         else:
             cap = F.lit(int(max_bucket_size)).cast("long")
         sk = sk.where(F.col("_bsz") <= cap).select("_id", "table", "bucket")
@@ -335,7 +346,7 @@ def bucket_cap_stats(
     """
     sizes = buckets.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
     if max_bucket_size == "auto":
-        sizes = sizes.crossJoin(F.broadcast(_corpus_count(source)))
+        sizes = _with_corpus_count(sizes, source)
         cap = _auto_cap_col(source, n_buckets)
     elif max_bucket_size is None:
         cap = F.lit(None).cast("long")

@@ -48,10 +48,16 @@ def test_embedding_near_dups_matches_exact(spark, sf_dir):
 
 
 def test_embedding_near_dups_plan_has_no_cartesian(spark, sf_dir):
+    """No quadratic pairwise join anywhere. The round-4 auto cap attaches
+    a ONE-ROW broadcast corpus count (Catalyst folds the constant equi-key
+    and plans it as a 1-row-build BroadcastNestedLoopJoin with the cap
+    predicate as condition — O(N) stream-side work, the standard scalar-
+    broadcast plan); any OTHER nested-loop join is a defect."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = dedup.embedding_near_dups(emb, dim=64)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert all("_corpus_n" in ln for ln in bnlj), bnlj
 
 
 def test_lsh_topk_single_corpus_scan_and_no_plan_literals(spark, sf_dir):
