@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_centroids": training_data.emb_label_centroids,
         # --- multimodal: real from-spec image decode kernel (round 4) ---
         "image_thumbnails": training_data.image_thumbnails,
+        "image_near_dups": training_data.image_near_dups,
     }
 
 
@@ -175,10 +176,15 @@ def oracle_sql() -> dict[str, str]:
         emb_path=emb_hd,
         out_name="golden_near_dups_d256.parquet",
     )
-    # round-4: image fixture + thumbnail golden (independent PPM/BMP codecs)
-    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_thumbnails
+    # round-4: image fixture + thumbnail/near-dup goldens (independent
+    # PPM/PGM/BMP codecs + pixel-embedding mirror)
+    from dataflow_geobeam_spark.fixtures.generate import (
+        ensure_golden_image_near_dups,
+        ensure_golden_thumbnails,
+    )
 
     ensure_golden_thumbnails("/root/testdata/sf0.01")
+    ensure_golden_image_near_dups("/root/testdata/sf0.01")
     return {
         "audio_window_tumbling": f"""
             SELECT CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS window_start_s,
@@ -576,6 +582,10 @@ def oracle_sql() -> dict[str, str]:
         "image_thumbnails": f"""
             SELECT img_id, container, thumb_md5, thumb_len
             FROM read_parquet('{FIXTURES_SF01}/golden_thumbnails.parquet')
+        """,
+        "image_near_dups": f"""
+            SELECT id_a, id_b, cosine
+            FROM read_parquet('{FIXTURES_SF01}/golden_image_near_dups.parquet')
         """,
         "emb_label_centroids": """
             WITH e AS (SELECT label, unnest(embedding) AS v FROM embeddings)

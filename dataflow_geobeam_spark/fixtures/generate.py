@@ -701,16 +701,31 @@ IMG_ROWS_PER_SF = 6400  # sf0.01 -> 64, sf0.1 -> 640
 THUMB_W, THUMB_H = 16, 12
 
 
+_IMG_FMTS = ("ppm", "bmp", "pgm")
+
+
+def _encode_image(img: np.ndarray, fmt: str) -> bytes:
+    if fmt == "ppm":
+        return independent.ppm_bytes(img)
+    if fmt == "bmp":
+        return independent.bmp_bytes(img)
+    return independent.pgm_bytes(img)
+
+
 def ensure_images(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
     """Idempotent fixtures/<sf>/images.parquet: (img_id string, bytes
     binary, fmt string, width int32, height int32).
 
-    Deterministic gradient+noise RGB images, alternating PPM (P6, with a
-    header comment) and 24bpp BMP containers, encoded by the INDEPENDENT
-    from-spec writers in fixtures.independent (the engine's decoders in
-    functions/imaging.py never touch these bytes at generation time).
-    ~8% of payloads are truncated mid-raster: decode-failure rows the
-    engine must surface as NULL thumbnails (F1/make_valid semantics).
+    Deterministic noise RGB images cycling PPM (P6, with a header
+    comment), 24bpp BMP, and P5 PGM containers (PGM rows are grayscale —
+    identical channels — so the single-channel round-trip is lossless),
+    encoded by the INDEPENDENT from-spec writers in fixtures.independent
+    (the engine's decoders in functions/imaging.py never touch these
+    bytes at generation time). Planted content: every i%9==4 image is a
+    near-duplicate of image i-1 (same pixels +-2, same dims, same
+    container) for the image near-dup query. ~8% of payloads are
+    truncated mid-raster: decode-failure rows the engine must surface as
+    NULL thumbnails / drop from embeddings (F1/make_valid semantics).
     """
     out_dir = fixtures_dir_for(sf_dir, root)
     os.makedirs(out_dir, exist_ok=True)
@@ -719,28 +734,34 @@ def ensure_images(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
         return path
     n = max(64, int(IMG_ROWS_PER_SF * sf_from_dir(sf_dir)))
     ids, bufs, fmts, ws, hs = [], [], [], [], []
+    prev_img, prev_fmt = None, None
     for i in range(n):
         rng = np.random.default_rng([SEED, 9_000_000 + i])
-        w = 16 + int(rng.integers(0, 49))
-        h = 12 + int(rng.integers(0, 37))
-        yy, xx = np.mgrid[0:h, 0:w]
-        img = np.stack(
-            [
-                ((xx * 255) // max(1, w - 1)).astype(np.uint8),
-                ((yy * 255) // max(1, h - 1)).astype(np.uint8),
-                rng.integers(0, 256, (h, w), dtype=np.uint8),
-            ],
-            axis=-1,
-        )
-        fmt = "ppm" if i % 2 == 0 else "bmp"
-        buf = independent.ppm_bytes(img) if fmt == "ppm" else independent.bmp_bytes(img)
+        if i % 9 == 4 and prev_img is not None:
+            # planted near-dup: same dims/container as i-1, pixels +-2
+            noise = rng.integers(-2, 3, prev_img.shape)
+            img = np.clip(prev_img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+            fmt = prev_fmt
+            if fmt == "pgm":  # keep channels identical for the P5 round-trip
+                img = np.repeat(img[:, :, :1], 3, axis=2)
+        else:
+            w = 16 + int(rng.integers(0, 49))
+            h = 12 + int(rng.integers(0, 37))
+            fmt = _IMG_FMTS[i % 3]
+            if fmt == "pgm":
+                gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+                img = np.repeat(gray[:, :, None], 3, axis=2)
+            else:
+                img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        buf = _encode_image(img, fmt)
+        prev_img, prev_fmt = img, fmt
         if i % 13 == 5:  # truncate mid-raster; magic bytes survive
             buf = buf[: max(8, int(len(buf) * 0.6))]
         ids.append(f"img{i:06d}")
         bufs.append(buf)
         fmts.append(fmt)
-        ws.append(w)
-        hs.append(h)
+        ws.append(int(img.shape[1]))
+        hs.append(int(img.shape[0]))
     tbl = pa.Table.from_pydict(
         {
             "img_id": pa.array(ids),
@@ -782,11 +803,7 @@ def ensure_golden_thumbnails(
     md5s, lens = [], []
     for buf, fmt in zip(bufs, fmts):
         try:
-            img = (
-                independent.decode_ppm_image(buf)
-                if fmt == "ppm"
-                else independent.decode_bmp_image(buf)
-            )
+            img = independent.decode_any_image(buf)
             small = independent.nn_resize(img, width, height)
             thumb = f"P6\n{width} {height}\n255\n".encode() + small.tobytes()
             md5s.append(hashlib.md5(thumb).hexdigest())
@@ -800,6 +817,68 @@ def ensure_golden_thumbnails(
             "container": pa.array(fmts),
             "thumb_md5": pa.array(md5s),
             "thumb_len": pa.array(lens, type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd")
+    return path
+
+
+EMB_IMG_W, EMB_IMG_H = 8, 6  # pixel-embedding dims: 8*6*3 = 144 floats
+
+
+def ensure_golden_image_near_dups(
+    sf_dir: str,
+    root: str = DEFAULT_FIXTURES_ROOT,
+    threshold: float = 0.9,
+) -> str:
+    """Golden for the image_near_dups driver query: ALL-pairs exact cosine
+    >= threshold over the independent pixel embeddings of every DECODABLE
+    fixture image (truncated payloads excluded on both sides, per the
+    operator's drop-invalid contract).
+
+    Embeddings come from fixtures.independent.pixel_embedding_independent
+    (regex/per-pixel-loop decode+resize, mean-centered float32); cosines
+    use Spark's sequential fold accumulation on the float32 values (same
+    screen-then-exact-recompute scheme as ensure_golden_near_dups).
+    """
+    import hashlib  # noqa: F401  (parity with thumbnails golden imports)
+
+    images_path = ensure_images(sf_dir, root)
+    out_dir = fixtures_dir_for(sf_dir, root)
+    path = os.path.join(out_dir, "golden_image_near_dups.parquet")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(images_path, columns=["img_id", "bytes"])
+    ids, vecs = [], []
+    for img_id, buf in zip(t.column("img_id").to_pylist(), t.column("bytes").to_pylist()):
+        try:
+            vecs.append(
+                independent.pixel_embedding_independent(buf, EMB_IMG_W, EMB_IMG_H)
+            )
+            ids.append(img_id)
+        except ValueError:
+            continue  # truncated payload: dropped, both sides
+    v32 = np.stack(vecs)
+    v = v32.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    norms[norms == 0] = 1.0
+    approx = (v @ v.T) / np.outer(norms, norms)
+    ii, jj = np.where(np.triu(approx >= threshold - 1e-3, k=1))
+    rows = []
+    for a, b in zip(ii.tolist(), jj.tolist()):
+        va, vb = v[a], v[b]
+        dot = np.cumsum(va * vb)[-1]
+        na = np.sqrt(np.cumsum(va * va)[-1])
+        nb = np.sqrt(np.cumsum(vb * vb)[-1])
+        cos = _spark_round6(dot / (na * nb))
+        if cos >= threshold:
+            id_a, id_b = sorted((ids[a], ids[b]))
+            rows.append({"id_a": id_a, "id_b": id_b, "cosine": cos})
+    tbl = pa.Table.from_pydict(
+        {
+            "id_a": pa.array([r["id_a"] for r in rows]),
+            "id_b": pa.array([r["id_b"] for r in rows]),
+            "cosine": pa.array([r["cosine"] for r in rows], type=pa.float64()),
         }
     )
     pq.write_table(tbl, path, compression="zstd")

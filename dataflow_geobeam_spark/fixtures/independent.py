@@ -297,3 +297,52 @@ def nn_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
             sx = min(int((x + 0.5) * src_w / width), src_w - 1)
             out[y, x] = img[sy, sx]
     return out
+
+
+def pgm_bytes(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> P5 grayscale (channel 0; generator feeds it
+    images with identical channels so the round-trip is lossless)."""
+    h, w = img.shape[:2]
+    return f"P5\n{w} {h}\n255\n".encode() + bytes(img[:, :, 0].astype(np.uint8).tobytes())
+
+
+def decode_pgm_image(buf: bytes) -> np.ndarray:
+    """P5 decode via the same regex style as decode_ppm_image; gray
+    replicated to 3 channels (the engine's uniform-shape contract)."""
+    import re
+
+    m = re.match(
+        rb"P5[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*(\d+)[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*"
+        rb"(\d+)[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*(\d+)[ \t\r\n]",
+        buf,
+    )
+    if not m:
+        raise ValueError("independent pgm: bad header")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        raise ValueError("independent pgm: only maxval 255")
+    raster = buf[m.end() : m.end() + w * h]
+    if len(raster) != w * h:
+        raise ValueError("independent pgm: truncated raster")
+    gray = np.frombuffer(raster, dtype=np.uint8).reshape(h, w)
+    return np.stack([gray, gray, gray], axis=2)
+
+
+def decode_any_image(buf: bytes) -> np.ndarray:
+    """Magic-dispatched independent decode (PPM/PGM/BMP)."""
+    if buf[:2] == b"P6":
+        return decode_ppm_image(buf)
+    if buf[:2] == b"P5":
+        return decode_pgm_image(buf)
+    if buf[:2] == b"BM":
+        return decode_bmp_image(buf)
+    raise ValueError(f"independent: unsupported container {buf[:4]!r}")
+
+
+def pixel_embedding_independent(buf: bytes, width: int, height: int) -> np.ndarray:
+    """Mirror of functions/imaging.pixel_embedding per its documented
+    contract: decode -> NN-resize (per-pixel loop here) -> flatten float64
+    -> subtract mean -> cast float32."""
+    small = nn_resize(decode_any_image(buf), width, height)
+    v = small.reshape(-1).astype(np.float64)
+    return (v - v.mean()).astype(np.float32)

@@ -80,6 +80,33 @@ def decode_ppm(buf: bytes) -> np.ndarray:
     return np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3)
 
 
+def decode_pgm(buf: bytes) -> np.ndarray:
+    """P5 binary PGM (grayscale) -> (height, width, 3) uint8 array — the
+    single channel replicated to RGB so every decoder in this module
+    yields one uniform shape for the downstream resize/embedding kernels."""
+    if buf[:2] != b"P5":
+        raise ImageDecodeError("pgm: bad magic (want P5)")
+    pos = 2
+    try:
+        w_tok, pos = _ppm_read_token(buf, pos)
+        h_tok, pos = _ppm_read_token(buf, pos)
+        m_tok, pos = _ppm_read_token(buf, pos)
+        width, height, maxval = int(w_tok), int(h_tok), int(m_tok)
+    except ValueError as e:
+        raise ImageDecodeError(f"pgm: bad header ({e})") from None
+    if width <= 0 or height <= 0:
+        raise ImageDecodeError("pgm: non-positive dimensions")
+    if not 0 < maxval < 256:
+        raise ImageDecodeError(f"pgm: unsupported maxval {maxval} (want 1..255)")
+    pos += 1
+    need = width * height
+    raster = buf[pos : pos + need]
+    if len(raster) != need:
+        raise ImageDecodeError(f"pgm: raster truncated ({len(raster)}/{need} bytes)")
+    gray = np.frombuffer(raster, dtype=np.uint8).reshape(height, width)
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
 def encode_ppm(img: np.ndarray) -> bytes:
     """(h, w, 3) uint8 -> P6 binary PPM bytes (maxval 255)."""
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
@@ -154,13 +181,28 @@ def decode_image(buf: bytes) -> np.ndarray:
     the PIL gate / deterministic fake in functions/multimodal.py)."""
     if buf[:2] == b"P6":
         return decode_ppm(buf)
+    if buf[:2] == b"P5":
+        return decode_pgm(buf)
     if buf[:2] == b"BM":
         return decode_bmp(buf)
     raise ImageDecodeError(f"unsupported container (magic {buf[:4]!r})")
 
 
 def thumbnail_ppm(buf: bytes, width: int, height: int) -> bytes:
-    """decode (PPM/BMP) -> nearest-neighbor resize -> P6 PPM bytes: the
-    real end-to-end thumbnail kernel for the formats this repo decodes
+    """decode (PPM/PGM/BMP) -> nearest-neighbor resize -> P6 PPM bytes:
+    the real end-to-end thumbnail kernel for the formats this repo decodes
     from spec."""
     return encode_ppm(resize_nearest(decode_image(buf), width, height))
+
+
+def pixel_embedding(buf: bytes, width: int, height: int) -> np.ndarray:
+    """decode -> NN-resize -> mean-centered flat pixel vector (float32,
+    length width*height*3) — the embedding kernel for image near-dup
+    detection. Centering removes the brightness/DC component that makes
+    ALL positive-pixel images correlate (~0.75 cosine between unrelated
+    noise images uncentered; ~0 centered), so the cosine threshold
+    separates true near-dups. Mean computed in float64, cast float32 —
+    the contract the independent golden mirrors exactly."""
+    small = resize_nearest(decode_image(buf), width, height)
+    v = small.reshape(-1).astype(np.float64)
+    return (v - v.mean()).astype(np.float32)

@@ -39,6 +39,7 @@ except Exception:  # pragma: no cover
 # the codec whitelist analog of validate_crs (geobeam/io.py:597-638).
 MAGIC_PREFIXES: tuple[tuple[str, str], ...] = (
     ("5036", "ppm"),  # "P6" — decoded from spec in functions/imaging.py
+    ("5035", "pgm"),  # "P5" — decoded from spec in functions/imaging.py
     ("424d", "bmp"),  # "BM" — decoded from spec in functions/imaging.py
     ("89504e47", "png"),
     ("ffd8ff", "jpeg"),
@@ -173,7 +174,7 @@ def with_thumbnails(
     keep_names = [f.name for f in keep]
 
     def _kernel(b: bytes) -> bytes | None:
-        if b[:2] in (b"P6", b"BM"):
+        if b[:2] in (b"P6", b"P5", b"BM"):
             try:
                 return thumbnail_ppm(b, width, height)
             except ImageDecodeError:
@@ -195,6 +196,59 @@ def with_thumbnails(
             yield pa.RecordBatch.from_arrays(arrays, names=keep_names + ["thumbnail"])
 
     return df.mapInArrow(fn, out_schema)
+
+
+def with_image_embeddings(
+    df: DataFrame,
+    id_col: str = "img_id",
+    bytes_col: str = "bytes",
+    width: int = 8,
+    height: int = 6,
+) -> DataFrame:
+    """(id, embedding array<float>) per DECODABLE image: from-spec decode
+    -> NN-resize -> mean-centered flat pixel vector (width*height*3
+    floats), one mapInArrow pass (functions/imaging.pixel_embedding).
+    Undecodable payloads are DROPPED — the near-dup self-join downstream
+    requires non-null fixed-dim vectors, and a corrupt image has no
+    meaningful pixel identity. The real-model analog swaps the kernel for
+    an encoder forward pass; the plumbing is identical."""
+    from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+    from dataflow_geobeam_spark.functions.decode import _binary_views
+    from dataflow_geobeam_spark.functions.imaging import ImageDecodeError, pixel_embedding
+
+    id_field = df.schema[id_col].dataType
+    in_df = df.select(F.col(id_col).alias("_id"), F.col(bytes_col).alias("_bytes"))
+    out_schema = StructType(
+        [
+            StructField("_id", id_field),
+            StructField("embedding", ArrayType(FloatType()), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            bufs = _binary_views(batch.column(1))
+            out_ids, out_vecs = [], []
+            for i, b in zip(ids, bufs):
+                if b is None:
+                    continue
+                try:
+                    vec = pixel_embedding(bytes(b), width, height)
+                except ImageDecodeError:
+                    continue
+                out_ids.append(i)
+                out_vecs.append(vec)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=batch.schema.field(0).type),
+                    pa.array([v.tolist() for v in out_vecs], type=pa.list_(pa.float32())),
+                ],
+                names=["_id", "embedding"],
+            )
+
+    return in_df.mapInArrow(fn, out_schema)
 
 
 def sample_video_frames_stub(buf: bytes, n_frames: int) -> list[bytes]:

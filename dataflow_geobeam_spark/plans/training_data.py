@@ -303,6 +303,49 @@ def image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MULTIMODAL dedup (round 4): real from-spec PPM/PGM/BMP
+    decode -> NN-resize -> mean-centered pixel embedding (one mapInArrow
+    pass, functions/multimodal.with_image_embeddings) -> LSH bucket
+    self-join near-dup pairs (operators/similarity.near_dup_pairs) — the
+    composite a training-data pipeline runs to dedup crawled images, with
+    the embedding kernel swappable for a model encoder at no plan change.
+    Truncated payloads drop at the decode stage (F1 semantics). Oracle:
+    all-pairs exact cosine over the INDEPENDENT pixel embeddings
+    (fixtures/generate.ensure_golden_image_near_dups, fold-order exact).
+
+    Scale shape: decode+embed is map-local; candidates come from the
+    (table, bucket) sketch self-join, never all-pairs; the auto cap
+    bounds degenerate boilerplate-image clusters.
+    """
+    from dataflow_geobeam_spark.fixtures.generate import (
+        EMB_IMG_H,
+        EMB_IMG_W,
+        ensure_images,
+    )
+    from dataflow_geobeam_spark.functions import multimodal as mm
+
+    imgs = spark.read.parquet(ensure_images(sf_dir))
+    emb = mm.with_image_embeddings(
+        imgs, "img_id", "bytes", width=EMB_IMG_W, height=EMB_IMG_H
+    )
+    # near_dup_pairs references its input 4x (auto-cap count, sketch, and
+    # both exact-verify sides). Over a parquet scan those are cheap
+    # re-scans; here the input is a COMPUTED decode+embed pass, so persist
+    # it — decode runs once. The 100 TB form materializes the embedding
+    # table explicitly (one decode job, then dedup reads parquet).
+    emb = emb.persist()
+    return similarity.near_dup_pairs(
+        emb,
+        "_id",
+        "embedding",
+        threshold=0.9,
+        dim=EMB_IMG_W * EMB_IMG_H * 3,
+        n_planes=8,
+        n_tables=16,
+    )
+
+
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norms — array aggregation without explode:
     element-wise sum via zip_with-reduce inside an aggregate."""

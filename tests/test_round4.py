@@ -231,6 +231,43 @@ def test_image_thumbnails_query_matches_golden(spark, sf_dir):
     assert sum(v[1] is not None for v in want.values()) > len(want) // 2
 
 
+def test_pgm_roundtrip_and_embedding_mirror():
+    """P5 grayscale round-trips through both implementations, and the
+    pixel-embedding kernels (engine vs independent) agree bit-for-bit
+    across all three containers."""
+    from dataflow_geobeam_spark.fixtures import independent as I
+    from dataflow_geobeam_spark.functions import imaging as E
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (11, 13), dtype=np.uint8)
+    gray = np.stack([g, g, g], axis=2)
+    buf = I.pgm_bytes(gray)
+    assert (E.decode_pgm(buf) == gray).all()
+    assert (I.decode_pgm_image(buf) == gray).all()
+    col = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    for payload in (I.ppm_bytes(col), I.bmp_bytes(col), buf):
+        a = E.pixel_embedding(payload, 8, 6)
+        b = I.pixel_embedding_independent(payload, 8, 6)
+        assert a.dtype == np.float32 and (a == b).all()
+        # centered up to float32 cast error (uncentered mean would be ~128)
+        assert abs(float(a.astype(np.float64).mean())) < 1e-3
+
+
+def test_image_near_dups_query_matches_golden(spark, sf_dir):
+    """End-to-end multimodal dedup: decode -> pixel embedding -> LSH
+    near-dup self-join finds exactly the planted near-duplicate image
+    pairs the independent golden enumerates (all-pairs exact cosine)."""
+    import pyarrow.parquet as pq
+
+    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_image_near_dups
+    from dataflow_geobeam_spark.plans.training_data import image_near_dups
+
+    golden_path = ensure_golden_image_near_dups(sf_dir)
+    got = {(r.id_a, r.id_b, r.cosine) for r in image_near_dups(spark, sf_dir).collect()}
+    want = {(r["id_a"], r["id_b"], r["cosine"]) for r in pq.read_table(golden_path).to_pylist()}
+    assert got == want and len(got) >= 3
+
+
 # ---------------------------------------------------------------------------
 # salted aggregate on a skewed TPC-H-style key (VERDICT #6)
 # ---------------------------------------------------------------------------
