@@ -78,3 +78,113 @@ def enrich_with_static_dim(
     only under inner; default left keeps every stream row.
     """
     return stream.join(F.broadcast(dim), key, "left")
+
+
+def corpus_minhash_index(
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    max_bucket_size: int | None = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Static-side MinHash index for stream-vs-corpus near-dup detection:
+    (buckets, shingles).
+
+    ``buckets`` = (corpus_id, band, bucket) via the scale path
+    (explode + partial-min aggregate, operators.dedup.minhash_band_buckets)
+    with the hot-bucket cap applied — a stream row hitting a boilerplate
+    bucket joins at most ``max_bucket_size`` corpus rows. ``shingles`` =
+    (corpus_id, c_shingles) for the exact-Jaccard verify. Callers should
+    ``persist()`` (or materialize to parquet) both: Structured Streaming
+    re-plans static sides every micro-batch.
+    """
+    from pyspark.sql.window import Window
+
+    from dataflow_geobeam_spark.functions import text as T
+    from dataflow_geobeam_spark.operators.dedup import minhash_band_buckets
+
+    sh = corpus_docs.select(
+        F.col(id_col).alias("_id"), T.shingles(text_col, n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    buckets = minhash_band_buckets(sh, k, bands, rows)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    buckets = buckets.withColumnRenamed("_id", "corpus_id")
+    shingles = sh.select(F.col("_id").alias("corpus_id"), F.col("shingles").alias("c_shingles"))
+    return buckets, shingles
+
+
+def near_dup_stream_vs_corpus(
+    stream_docs: DataFrame,
+    corpus_index: tuple[DataFrame, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming near-dup detection of incoming documents AGAINST an
+    existing corpus — the dedup a training-data pipeline runs on a live
+    crawl before admitting documents (drop what the corpus already has).
+
+    Per micro-batch, entirely map-local on the stream side: shingles ->
+    higher-order MinHash signature (functions.text.minhash_signature — no
+    aggregation, so no streaming-agg output-mode constraints) -> band
+    buckets (functions.text.lsh_bands; identical bucket values to the
+    static index's explode+groupBy path, both hash the comma-joined band
+    slots). Candidates come from a stream-STATIC equi-join on (band,
+    bucket) — Spark broadcasts/replans the static side per batch; the
+    stream side never accumulates join state. Exact Jaccard verifies
+    candidates against the corpus shingle table; a final streaming
+    ``dropDuplicates`` emits each (stream_id, corpus_id) pair once
+    (state = emitted pairs; bound it with a watermark +
+    dropDuplicatesWithinWatermark when the stream carries event time).
+
+    Output: (stream_id, corpus_id, jaccard >= threshold).
+
+    A shingle-array copy rides each of the ``bands`` exploded rows on the
+    stream side (the self-join form instead joins shingles back by id,
+    which a stream cannot do without a stream-stream join); at crawl
+    ingest rates that per-row fanout is the cheap side of the trade.
+    """
+    from dataflow_geobeam_spark.functions import text as T
+
+    buckets_c, shingles_c = corpus_index
+    n_parts = int(stream_docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    s = stream_docs.select(
+        F.col(id_col).alias("stream_id"), T.shingles(text_col, n).alias("s_shingles")
+    ).where(F.size("s_shingles") > 0)
+    # exchange boundary before the signature expression: CollapseProject
+    # would otherwise inline the shingle/tokenizer expr into every one of
+    # the k hash lambdas (see operators.dedup.with_minhash)
+    s = s.repartition(n_parts)
+    sig = s.withColumn("sig", T.minhash_signature(F.col("s_shingles"), k))
+    sb = sig.select(
+        "stream_id",
+        "s_shingles",
+        F.explode(T.lsh_bands(F.col("sig"), bands, rows)).alias("b"),
+    ).select(
+        "stream_id",
+        "s_shingles",
+        F.col("b.band").alias("band"),
+        F.col("b.bucket_hash").alias("bucket"),
+    )
+    cand = sb.join(buckets_c, ["band", "bucket"]).join(shingles_c, "corpus_id")
+    inter = F.size(F.array_intersect("s_shingles", "c_shingles")).cast("double")
+    union = F.size(F.array_union("s_shingles", "c_shingles")).cast("double")
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("stream_id", "corpus_id", "jaccard")
+        .dropDuplicates(["stream_id", "corpus_id"])
+    )

@@ -269,6 +269,83 @@ def test_image_near_dups_query_matches_golden(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# streaming near-dup vs static corpus (round-4 addition)
+# ---------------------------------------------------------------------------
+
+
+def test_near_dup_stream_vs_corpus(spark, sf_dir, tmp_path):
+    """An incoming document stream is deduped against a static corpus
+    index: an exact copy and a perturbed near-copy of corpus docs are
+    flagged with the right partner and Jaccard; a novel document is not.
+    The streaming result must equal the batch ngram-Jaccard oracle run on
+    the same (stream x corpus) pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataflow_geobeam_spark.streaming.extras import (
+        corpus_minhash_index,
+        near_dup_stream_vs_corpus,
+    )
+
+    corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # pick a corpus doc with enough text to shingle
+    base = (
+        corpus.where(F.size(F.split(F.trim("text"), r"\s+")) >= 12)
+        .select("doc_id", "text")
+        .first()
+    )
+    words = base.text.split()
+    near = " ".join(words[:-2] + ["changed", "tail"])
+    stream_rows = {
+        "doc_id": [900001, 900002, 900003],
+        "text": [base.text, near, "completely novel document about nothing shared at all"],
+    }
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    pq.write_table(pa.Table.from_pydict(stream_rows), str(stream_dir / "part-0.parquet"))
+
+    idx = corpus_minhash_index(corpus)
+    idx = (idx[0].persist(), idx[1].persist())
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(stream_dir))
+    )
+    out = near_dup_stream_vs_corpus(stream, idx)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.stream_id, r.corpus_id): r.jaccard
+        for r in spark.sql("select * from neardup_stream_test").collect()
+    }
+    assert got.get((900001, base.doc_id)) == 1.0  # exact copy
+    near_j = got.get((900002, base.doc_id))
+    assert near_j is not None and 0.5 <= near_j < 1.0  # perturbed near-copy
+    assert not any(sid == 900003 for sid, _ in got)  # novel doc clean
+
+    # batch oracle: exact ngram Jaccard of every flagged pair
+    from dataflow_geobeam_spark.operators.dedup import ngram_jaccard_pairs
+
+    both = corpus.select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            list(zip(stream_rows["doc_id"], stream_rows["text"])),
+            "doc_id long, text string",
+        )
+    )
+    batch = {
+        (r.id_b, r.id_a): r.jaccard
+        for r in ngram_jaccard_pairs(both, threshold=0.5).collect()
+        if r.id_b >= 900000 and r.id_a < 900000
+    }
+    assert {p: j for p, j in got.items()} == batch
+
+
+# ---------------------------------------------------------------------------
 # salted aggregate on a skewed TPC-H-style key (VERDICT #6)
 # ---------------------------------------------------------------------------
 
