@@ -345,6 +345,44 @@ def test_near_dup_stream_vs_corpus(spark, sf_dir, tmp_path):
     assert {p: j for p, j in got.items()} == batch
 
 
+def test_streaming_thumbnails_match_batch(spark, sf_dir, tmp_path):
+    """The real image-decode kernel runs unchanged under Structured
+    Streaming (mapInArrow is stateless): streaming the image fixture
+    through with_thumbnails yields exactly the batch result, NULLs on
+    truncated payloads included."""
+    from dataflow_geobeam_spark.fixtures.generate import ensure_images
+    from dataflow_geobeam_spark.functions import multimodal as mm
+
+    path = ensure_images(sf_dir)
+    stream_dir = tmp_path / "images_stream"  # file stream source needs a dir
+    stream_dir.mkdir()
+    os.link(path, stream_dir / "part-0.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(str(stream_dir))
+    q = (
+        mm.with_thumbnails(stream, width=4, height=4)
+        .select("img_id", "thumbnail")
+        .writeStream.format("memory")
+        .queryName("thumbs_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.img_id: r.thumbnail
+        for r in spark.sql("select * from thumbs_stream_test").collect()
+    }
+    want = {
+        r.img_id: r.thumbnail
+        for r in mm.with_thumbnails(spark.read.parquet(path), width=4, height=4)
+        .select("img_id", "thumbnail")
+        .collect()
+    }
+    assert got == want
+    assert any(v is None for v in want.values())
+
+
 # ---------------------------------------------------------------------------
 # salted aggregate on a skewed TPC-H-style key (VERDICT #6)
 # ---------------------------------------------------------------------------
