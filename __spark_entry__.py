@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk_bruteforce": training_data.emb_topk_bruteforce,
         "emb_topk_lsh": training_data.emb_topk_lsh,
         "emb_topk_ivf": training_data.emb_topk_ivf,
+        "emb_topk_ivfpq": training_data.emb_topk_ivfpq,
         "emb_topk_lsh_d256": training_data.emb_topk_lsh_d256,
         "emb_near_dups": training_data.emb_near_dups,
         "emb_near_dups_d256": training_data.emb_near_dups_d256,
@@ -159,8 +160,11 @@ def oracle_sql() -> dict[str, str]:
         ensure_golden_near_dups,
     )
 
+    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_ivfpq_topk
+
     ensure_golden_lsh_topk("/root/testdata/sf0.01")
     ensure_golden_ivf_topk("/root/testdata/sf0.01")
+    ensure_golden_ivfpq_topk("/root/testdata/sf0.01")
     emb_hd = ensure_embeddings_hd("/root/testdata/sf0.01")
     ensure_golden_lsh_topk(
         "/root/testdata/sf0.01", emb_path=emb_hd, out_name="golden_lsh_topk_d256.parquet"
@@ -560,6 +564,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_topk_ivf": f"""
             SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
             FROM read_parquet('{FIXTURES_SF01}/golden_ivf_topk.parquet')
+        """,
+        "emb_topk_ivfpq": f"""
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+            FROM read_parquet('{FIXTURES_SF01}/golden_ivfpq_topk.parquet')
         """,
         "emb_topk_lsh_d256": f"""
             SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank

@@ -883,3 +883,98 @@ def ensure_golden_image_near_dups(
     )
     pq.write_table(tbl, path, compression="zstd")
     return path
+
+
+def ensure_golden_ivfpq_topk(
+    sf_dir: str,
+    root: str = DEFAULT_FIXTURES_ROOT,
+    k: int = 5,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    m_sub: int = 8,
+    k_codes: int = 32,
+    refine: int = 50,
+    seed: int = 42,
+    max_query_id: int = 20,
+) -> str | None:
+    """Numpy golden for similarity.ivfpq_topk (round 4): IVF cell probing
+    + PQ-code reconstruction scoring + exact refine, all deterministic
+    (seeded centroids + codebooks), mirrored independently step-for-step:
+    rounded fold-order approx cosines pick the refine shortlist with
+    (approx desc, neighbor id) ties, exact fold-order cosines rank the
+    final top-k."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(emb_path):
+        return None
+    out_dir = fixtures_dir_for(sf_dir, root)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "golden_ivfpq_topk.parquet")
+    if os.path.exists(path):
+        return path
+
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    dim = vecs.shape[1]
+    dsub = dim // m_sub
+    cents = independent.ivf_centroids(dim, n_cells, seed)
+    # training sample per the engine spec: the 256 lowest-vec_id vectors
+    order = np.argsort(ids, kind="stable")[:256]
+    sample = vecs[order].astype(np.float64)
+    books = independent.pq_train_codebooks(sample, m_sub, k_codes, seed)
+
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sims = (v / norms) @ cents.T
+    corpus_cell = sims.argmax(axis=1)
+    probe = np.argsort(-sims, axis=1)[:, :n_probe]
+
+    vs = v.reshape(len(ids), m_sub, dsub)
+    codes = np.empty((len(ids), m_sub), dtype=np.int64)
+    approx = np.empty((len(ids), dim), dtype=np.float32)
+    for s in range(m_sub):
+        d2 = ((vs[:, s, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+        approx[:, s * dsub : (s + 1) * dsub] = books[s][codes[:, s]]
+
+    def fold_cos(a64: np.ndarray, b64: np.ndarray) -> float:
+        dot = np.cumsum(a64 * b64)[-1]
+        na = np.sqrt(np.cumsum(a64 * a64)[-1])
+        nb = np.sqrt(np.cumsum(b64 * b64)[-1])
+        return _spark_round6(dot / (na * nb))
+
+    rows = []
+    for qi in np.where(ids < max_query_id)[0]:
+        probed = set(probe[qi].tolist())
+        qv = vecs[qi].astype(np.float64)
+        cand = [
+            ci
+            for ci in range(len(ids))
+            if ci != qi and corpus_cell[ci] in probed
+        ]
+        scored = [
+            (int(ids[ci]), fold_cos(qv, approx[ci].astype(np.float64)), ci)
+            for ci in cand
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        shortlist = scored[:refine]
+        exact = [
+            (nid, fold_cos(qv, vecs[ci].astype(np.float64)))
+            for nid, _, ci in shortlist
+        ]
+        exact.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (nid, cos) in enumerate(exact[:k], start=1):
+            rows.append(
+                {"query_id": int(ids[qi]), "neighbor_id": nid, "cosine": cos, "rank": rank}
+            )
+    tbl = pa.Table.from_pydict(
+        {
+            "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+            "neighbor_id": pa.array([r["neighbor_id"] for r in rows], type=pa.int64()),
+            "cosine": pa.array([r["cosine"] for r in rows], type=pa.float64()),
+            "rank": pa.array([r["rank"] for r in rows], type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd")
+    return path

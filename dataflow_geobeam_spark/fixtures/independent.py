@@ -346,3 +346,28 @@ def pixel_embedding_independent(buf: bytes, width: int, height: int) -> np.ndarr
     small = nn_resize(decode_any_image(buf), width, height)
     v = small.reshape(-1).astype(np.float64)
     return (v - v.mean()).astype(np.float32)
+
+
+def pq_train_codebooks(
+    sample: np.ndarray, m_sub: int, k_codes: int, seed: int = 42, iters: int = 10
+) -> np.ndarray:
+    """Per-subspace k-means PQ codebooks per the engine's documented
+    training spec: float64 sample, init = ``default_rng([seed, 4242, s])``
+    rows without replacement, exactly ``iters`` Lloyd iterations, empty
+    clusters keep their previous centroid."""
+    n, dim = sample.shape
+    dsub = dim // m_sub
+    xs = sample.reshape(n, m_sub, dsub)
+    books = np.empty((m_sub, k_codes, dsub))
+    for s in range(m_sub):
+        x = xs[:, s, :]
+        rng = np.random.default_rng([seed, 4242, s])
+        c = x[rng.choice(n, k_codes, replace=False)].copy()
+        for _ in range(iters):
+            assign = ((x[:, None, :] - c[None]) ** 2).sum(axis=2).argmin(axis=1)
+            for j in range(k_codes):
+                members = assign == j
+                if members.any():
+                    c[j] = x[members].mean(axis=0)
+        books[s] = c
+    return books

@@ -269,6 +269,55 @@ def test_image_near_dups_query_matches_golden(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized scoring + exact refine (round-4 addition)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_topk_recall_and_plan(spark, sf_dir):
+    """PQ-scored candidates + exact refine must recover most true
+    neighbors (recall vs brute force; the PQ approximation only has to
+    keep them inside the refine-50 shortlist), with exact cosines in the
+    output, and the plan must stay cartesian-free with the codes — not
+    the full vectors — crossing the scoring join."""
+    from dataflow_geobeam_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    df = similarity.ivfpq_topk(emb, q, k=5, dim=64, n_cells=16, n_probe=8)
+    rows = df.collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+    # exact cosines survive the refine: spot-check one against brute force
+    bf = {(r.query_id, r.neighbor_id): r.cosine
+          for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    for r in rows:
+        if (r.query_id, r.neighbor_id) in bf:
+            assert r.cosine == bf[(r.query_id, r.neighbor_id)]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_matches_independent_golden(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_ivfpq_topk
+    from dataflow_geobeam_spark.plans.training_data import emb_topk_ivfpq
+
+    golden = ensure_golden_ivfpq_topk(sf_dir)
+    got = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+           for r in emb_topk_ivfpq(spark, sf_dir).collect()}
+    want = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in pq.read_table(golden).to_pylist()}
+    assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
 # streaming near-dup vs static corpus (round-4 addition)
 # ---------------------------------------------------------------------------
 
