@@ -188,3 +188,70 @@ def near_dup_stream_vs_corpus(
         .select("stream_id", "corpus_id", "jaccard")
         .dropDuplicates(["stream_id", "corpus_id"])
     )
+
+
+def salted_windowed_agg_stream(
+    decoded: DataFrame,
+    duration: str = "10 seconds",
+    salt_plan: DataFrame | None = None,
+    default_salts: int = 8,
+    id_col: str = "clip_id",
+    key_col: str = "bucket",
+) -> DataFrame:
+    """Skew-salted tumbling windowed aggregate ON THE STREAM — the north
+    rule's "salted repartitioning on dur_ms-weighted key buckets before
+    the windowed hash-aggregate" in its streaming form (the batch form is
+    operators/skew.salted_two_phase_agg).
+
+    Two CHAINED streaming aggregations (append mode — Spark 4 supports
+    multiple stateful operators under one watermark):
+
+    1. partial on (window, key, salt): the hot key's rows fan out over its
+       salt slots, so no single state-store partition owns the hot key's
+       whole window;
+    2. final on (re-windowed window, key): combines the per-salt partials;
+       algebraic aggs compose exactly, mean derives as sum/count.
+
+    ``salt_plan`` is the (key, _k) fan-out table from
+    operators.skew.weighted_salt_plan — computed on HISTORICAL data and
+    broadcast stream-static (a live stream cannot run the stats pass over
+    itself); keys absent from the plan (or plan=None) get
+    ``default_salts``. Salt is pmod(xxhash64(id), k): uniform within a
+    key, deterministic.
+
+    Output schema matches streaming.pipeline.windowed_agg_stream.
+    """
+    df = decoded
+    if salt_plan is not None:
+        df = df.join(F.broadcast(salt_plan), on=key_col, how="left")
+        k = F.coalesce(F.col("_k"), F.lit(default_salts))
+    else:
+        k = F.lit(default_salts)
+    df = df.withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), k).cast("int"))
+    partial = (
+        df.groupBy(F.window("ts", duration), F.col(key_col), "salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("dur_ms").cast("long")).alias("_sum_dur"),
+            F.sum("rms").alias("_sum_rms"),
+            F.sum("n_samples").alias("_sum_samples"),
+        )
+    )
+    final = (
+        partial.groupBy(F.window(F.col("window"), duration), F.col(key_col))
+        .agg(
+            F.sum("_n").alias("n_clips"),
+            F.sum("_sum_dur").alias("sum_dur_ms"),
+            (F.sum("_sum_rms") / F.sum("_n")).alias("mean_rms"),
+            F.sum("_sum_samples").alias("sum_samples"),
+        )
+    )
+    return final.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        key_col,
+        "n_clips",
+        "sum_dur_ms",
+        "mean_rms",
+        "sum_samples",
+    )

@@ -269,6 +269,70 @@ def test_image_near_dups_query_matches_golden(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# streaming salted windowed aggregate (north rule, streaming form)
+# ---------------------------------------------------------------------------
+
+
+def test_salted_windowed_agg_stream_matches_plain(spark, fixture_dir, tmp_path):
+    """The skew-salted two-level streaming window aggregate (chained
+    append-mode aggregations) emits exactly the rows the plain streaming
+    aggregate emits — salting redistributes state, never results. The
+    salt fan-out plan comes from the batch weighted_salt_plan over the
+    same fixture (the 'historical stats' pattern)."""
+    import os as _os
+
+    from dataflow_geobeam_spark.functions.decode import with_decoded_metrics
+    from dataflow_geobeam_spark.functions.validity import (
+        precheck_predicate,
+        valid_clip_predicate,
+    )
+    from dataflow_geobeam_spark.operators.skew import weighted_salt_plan
+    from dataflow_geobeam_spark.sources.clips import CLIPS_SCHEMA
+    from dataflow_geobeam_spark.streaming import pipeline
+    from dataflow_geobeam_spark.streaming.extras import salted_windowed_agg_stream
+
+    stream_dir = pipeline.prepare_stream_dir(spark, fixture_dir, n_files=4)
+
+    hist = spark.read.parquet(_os.path.join(fixture_dir, "clips.parquet")).withColumn(
+        "bucket", F.substring("clip_id", 1, 2)
+    )
+    plan = weighted_salt_plan(hist, ["bucket"], weight_col="dur_ms",
+                              weight_per_slice=50_000.0, max_salts=8)
+
+    def run(name, make_agg):
+        clips = pipeline.stream_clips_dir(spark, stream_dir, max_files_per_trigger=2)
+        # 5 s watermark: the sf0.001 fixture spans ~30 s of event time, so
+        # append mode can finalize windows between the two micro-batches
+        decoded = pipeline.decoded_valid_stream(clips, watermark="5 seconds")
+        q = (
+            make_agg(decoded)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return {
+            (r.window_start, r.bucket): (
+                r.n_clips,
+                r.sum_dur_ms,
+                round(r.mean_rms, 6),
+                r.sum_samples,
+            )
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+
+    plain = run("plain_wagg", lambda d: pipeline.windowed_agg_stream(d))
+    salted = run(
+        "salted_wagg",
+        lambda d: salted_windowed_agg_stream(d, salt_plan=plan, default_salts=8),
+    )
+    assert len(plain) > 0
+    assert salted == plain
+
+
+# ---------------------------------------------------------------------------
 # IVF-PQ: product-quantized scoring + exact refine (round-4 addition)
 # ---------------------------------------------------------------------------
 
