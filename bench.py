@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     # at sf0.1) + the IVF probe path
     "emb_near_dups_d256",
     "emb_topk_ivf",
+    # round-4: PQ-compressed ANN (codebook fit + encode + refine)
+    "emb_topk_ivfpq",
 ]
 
 

@@ -62,6 +62,14 @@ class _LocalManifestIO:
             os.fsync(f.fileno())
         os.rename(tmp, path)  # atomic commit point
 
+    def delete(self, path: str, recursive: bool = False) -> None:
+        import shutil
+
+        if recursive and os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+
 
 class _HadoopManifestIO:
     """Manifest IO through the Hadoop FileSystem API (JVM gateway).
@@ -107,6 +115,9 @@ class _HadoopManifestIO:
             out.close()
         if not self._fs.rename(self._jpath(tmp), self._jpath(path)):
             raise OSError(f"manifest rename failed: {tmp} -> {path}")
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        self._fs.delete(self._jpath(path), recursive)
 
 
 def _is_local_path(path: str) -> bool:
@@ -297,6 +308,42 @@ class ExactlyOnceParquetSink:
         path = self._join(MANIFEST_DIR, f"compact-{up_to_epoch:020d}.json")
         io.write_atomic(path, json.dumps(manifest), f".tmp.{run_id}")
         return manifest
+
+    def expire_epochs(self, up_to_epoch: int | None = None) -> dict:
+        """Iceberg ``expire_snapshots`` analog (round 4): delete the
+        per-epoch manifests AND their data dirs for epochs a compaction
+        manifest already covers — trading time travel INSIDE the compacted
+        range for file count (full reads are untouched: they resolve to
+        the compacted fileset for those epochs; time travel to an expired
+        epoch now raises the no-snapshots error, exactly Iceberg's
+        post-expire behavior).
+
+        Refuses to touch epochs no compaction covers — expiring those
+        would delete the only copy of their data. Per epoch the manifest
+        deletes BEFORE its data dir: a crash in between leaves an orphan
+        data dir (invisible to readers, re-collectable), never a manifest
+        pointing at deleted files.
+        """
+        io = self._ensure_io()
+        manifests = self.committed_manifests()
+        compacts = [m for m in manifests if "covers_max" in m]
+        best = max(compacts, key=lambda c: c["covers_max"], default=None)
+        if best is None:
+            raise FileNotFoundError(
+                f"expire_epochs: no compaction manifest in {self.table_dir} — "
+                "run compact() first (expiring uncompacted epochs would drop data)"
+            )
+        limit = best["covers_max"]
+        if up_to_epoch is not None:
+            limit = min(limit, up_to_epoch)
+        expired = []
+        for m in manifests:
+            if "covers_max" in m or m["epoch_id"] > limit:
+                continue
+            io.delete(self._manifest_path(m["epoch_id"]))
+            io.delete(self._join(m["dir"]), recursive=True)
+            expired.append(m["epoch_id"])
+        return {"expired": sorted(expired), "covers_max": best["covers_max"]}
 
     def read_latest(self, spark: SparkSession, key_cols: list[str]) -> DataFrame:
         """Merge-on-read for update-mode streams: latest epoch wins per key.

@@ -269,6 +269,46 @@ def test_image_near_dups_query_matches_golden(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# sink maintenance: expire_snapshots analog (round-4 addition)
+# ---------------------------------------------------------------------------
+
+
+def test_sink_expire_epochs(spark, tmp_path):
+    """After compaction, expire deletes covered per-epoch manifests+data:
+    full reads are unchanged (they use the compacted fileset), time travel
+    to an expired epoch raises, uncovered epochs survive, and expiring
+    without a compaction refuses outright."""
+    from dataflow_geobeam_spark.streaming.sink import ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "table"))
+    for e in range(4):
+        df = spark.range(e * 10, e * 10 + 10).withColumnRenamed("id", "v")
+        sink.write_batch(df, e)
+
+    bare = ExactlyOnceParquetSink(str(tmp_path / "bare"))
+    bare.write_batch(spark.range(3).withColumnRenamed("id", "v"), 0)
+    with pytest.raises(FileNotFoundError):
+        bare.expire_epochs()
+
+    before = {r.v for r in sink.read(spark).collect()}
+    sink.compact(spark, up_to_epoch=2)
+    out = sink.expire_epochs()
+    assert out["expired"] == [0, 1, 2]
+
+    after = {r.v for r in sink.read(spark).collect()}
+    assert after == before == set(range(40))
+    # epoch 3 survived as a per-epoch snapshot; epoch 1 history is gone
+    assert {r.v for r in sink.read(spark, as_of_epoch=3).collect()} == before
+    with pytest.raises(FileNotFoundError):
+        sink.read(spark, as_of_epoch=1)
+    # manifest dir now holds: 1 compaction + 1 surviving epoch manifest
+    import os as _os
+
+    mdir = str(tmp_path / "table" / "_manifests")
+    assert len([f for f in _os.listdir(mdir) if f.endswith(".json")]) == 2
+
+
+# ---------------------------------------------------------------------------
 # streaming salted windowed aggregate (north rule, streaming form)
 # ---------------------------------------------------------------------------
 
