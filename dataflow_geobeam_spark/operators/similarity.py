@@ -89,6 +89,26 @@ def _all_planes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray
     )
 
 
+def recommended_n_planes(n_rows: int) -> int:
+    """Plane count for a near-dup SELF-join over ``n_rows`` vectors:
+    ``ceil(log2 N) + 1``.
+
+    Bucket occupancy is ~N/2^n_planes and candidate volume is
+    ~N * n_tables * occupancy / 2, so a FIXED plane count makes the
+    self-join quadratic in N; log-scaled planes hold occupancy ~0.5 and
+    candidates ~4N at any corpus size. Measured (BENCH/BASELINE.md,
+    multimodal section): at 50k vectors, 12 planes -> 4.4M candidates and
+    a verify-dominated 2-minute join; 16 planes -> ~300k candidates, 12x
+    faster, identical output. Recall per near-identical pair stays ~1
+    (per-plane agreement ~0.99 at cosine 0.999; raise n_tables if the
+    target threshold is lower). The golden-gated driver queries pin their
+    own fixed plane counts for reproducibility; production callers should
+    size with this."""
+    import math
+
+    return max(12, math.ceil(math.log2(max(2, n_rows))) + 1)
+
+
 def sketch_buckets(
     df: DataFrame,
     id_col: str,

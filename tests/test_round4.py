@@ -598,3 +598,14 @@ def test_salted_sum_agg_tpch_hot_customer(spark, sf_dir):
         "o_totalprice",
     )
     assert w_salted[0] * 4 <= w_plain[0]
+
+
+def test_recommended_n_planes_keeps_candidates_linear():
+    from dataflow_geobeam_spark.operators.similarity import recommended_n_planes
+
+    for n in (1_000, 50_000, 200_000, 10**9, 10**12):
+        p = recommended_n_planes(n)
+        occupancy = n / 2**p
+        assert occupancy <= 0.5  # candidates ~ n_tables * N * occupancy / 2
+    assert recommended_n_planes(50_000) == 17
+    assert recommended_n_planes(100) == 12  # floor
