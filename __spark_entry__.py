@@ -567,7 +567,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_topk_ivfpq": f"""
             SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
-            FROM read_parquet('{FIXTURES_SF01}/golden_ivfpq_topk.parquet')
+            FROM read_parquet('{FIXTURES_SF01}/golden_ivfpq_topk_v2.parquet')
         """,
         "emb_topk_lsh_d256": f"""
             SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank

@@ -897,18 +897,25 @@ def ensure_golden_ivfpq_topk(
     seed: int = 42,
     max_query_id: int = 20,
 ) -> str | None:
-    """Numpy golden for similarity.ivfpq_topk (round 4): IVF cell probing
-    + PQ-code reconstruction scoring + exact refine, all deterministic
-    (seeded centroids + codebooks), mirrored independently step-for-step:
-    rounded fold-order approx cosines pick the refine shortlist with
-    (approx desc, neighbor id) ties, exact fold-order cosines rank the
-    final top-k."""
+    """Numpy golden for similarity.ivfpq_topk: IVF cell probing + ADC
+    lookup-table candidate scoring + exact refine, all deterministic
+    (seeded centroids + codebooks), mirrored independently step-for-step.
+
+    Round-5 spec change (filename bumped to _v2): candidate scoring is the
+    documented ADC identity — per-query LUT entries are fold-ordered
+    (cumsum) dot products of query subvectors vs codewords, the candidate
+    score is the fold-ordered sum of its ``m_sub`` LUT entries over
+    ``q_norm * sqrt(fold-sum of codeword norm² entries)``, rounded HALF-UP
+    to 6 places — matching operators/similarity.pq_adc_luts /
+    pq_adc_score_col bit-for-bit without ever reconstructing a dim-float
+    vector. Shortlist = top ``refine`` by (approx desc, neighbor id);
+    exact fold-order cosines rank the final top-k."""
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(emb_path):
         return None
     out_dir = fixtures_dir_for(sf_dir, root)
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, "golden_ivfpq_topk.parquet")
+    path = os.path.join(out_dir, "golden_ivfpq_topk_v2.parquet")
     if os.path.exists(path):
         return path
 
@@ -932,11 +939,9 @@ def ensure_golden_ivfpq_topk(
 
     vs = v.reshape(len(ids), m_sub, dsub)
     codes = np.empty((len(ids), m_sub), dtype=np.int64)
-    approx = np.empty((len(ids), dim), dtype=np.float32)
     for s in range(m_sub):
         d2 = ((vs[:, s, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
         codes[:, s] = d2.argmin(axis=1)
-        approx[:, s * dsub : (s + 1) * dsub] = books[s][codes[:, s]]
 
     def fold_cos(a64: np.ndarray, b64: np.ndarray) -> float:
         dot = np.cumsum(a64 * b64)[-1]
@@ -944,17 +949,35 @@ def ensure_golden_ivfpq_topk(
         nb = np.sqrt(np.cumsum(b64 * b64)[-1])
         return _spark_round6(dot / (na * nb))
 
+    # codeword norm² LUT: fold-ordered per the round-5 ADC spec
+    lut_nrm = np.empty((m_sub, books.shape[1]))
+    for s in range(m_sub):
+        for j in range(books.shape[1]):
+            lut_nrm[s, j] = np.cumsum(books[s, j] * books[s, j])[-1]
+
     rows = []
     for qi in np.where(ids < max_query_id)[0]:
         probed = set(probe[qi].tolist())
         qv = vecs[qi].astype(np.float64)
+        qs = qv.reshape(m_sub, dsub)
+        q_norm = np.sqrt(np.cumsum(qv * qv)[-1])
+        lut_dot = np.empty((m_sub, books.shape[1]))
+        for s in range(m_sub):
+            for j in range(books.shape[1]):
+                lut_dot[s, j] = np.cumsum(qs[s] * books[s, j])[-1]
+
+        def adc_cos(code_row: np.ndarray) -> float:
+            dot = np.cumsum(lut_dot[np.arange(m_sub), code_row])[-1]
+            nrm = np.cumsum(lut_nrm[np.arange(m_sub), code_row])[-1]
+            return _spark_round6(dot / (q_norm * np.sqrt(nrm)))
+
         cand = [
             ci
             for ci in range(len(ids))
             if ci != qi and corpus_cell[ci] in probed
         ]
         scored = [
-            (int(ids[ci]), fold_cos(qv, approx[ci].astype(np.float64)), ci)
+            (int(ids[ci]), adc_cos(codes[ci]), ci)
             for ci in cand
         ]
         scored.sort(key=lambda x: (-x[1], x[0]))

@@ -309,8 +309,9 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     dim: int = 64,
-    n_planes: int = 4,
+    n_planes: int | str = 4,
     n_tables: int = 32,
+    corpus_n: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucket self-join.
 
@@ -319,9 +320,12 @@ def embedding_near_dups(
     candidates come from sign-sketch (table, bucket) collisions (one
     mapInArrow sketch pass, shuffle per bucket) and only candidates pay
     the exact-cosine verification — same shape as minhash_lsh_pairs.
+    ``corpus_n`` / ``n_planes="auto"`` pass through to
+    ``similarity.near_dup_pairs`` (round 5).
     """
     from dataflow_geobeam_spark.operators.similarity import near_dup_pairs
 
     return near_dup_pairs(
-        df, id_col, vec_col, threshold, dim=dim, n_planes=n_planes, n_tables=n_tables
+        df, id_col, vec_col, threshold, dim=dim, n_planes=n_planes,
+        n_tables=n_tables, corpus_n=corpus_n,
     )

@@ -222,8 +222,23 @@ def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle on the sf0.001/sf0.01 fixtures).
     """
     emb = _t(spark, sf_dir, "embeddings")
+    # round-5 VERDICT #2: the auto-cap needs the corpus size; reading it
+    # from the parquet footer (table stats — what a production catalog
+    # provides) folds the cap to a plan literal, dropping the round-4
+    # count-subquery broadcast join that cost +16%.
+    try:
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        corpus_n = _pq.ParquetFile(
+            _os.path.join(sf_dir, "embeddings.parquet")
+        ).metadata.num_rows
+    except Exception:  # noqa: BLE001 - stats unavailable: operator counts
+        corpus_n = None
     return dedup.embedding_near_dups(
-        emb, "vec_id", "embedding", threshold=0.45, dim=64, n_planes=4, n_tables=32
+        emb, "vec_id", "embedding", threshold=0.45, dim=64, n_planes=4, n_tables=32,
+        corpus_n=corpus_n,
     )
 
 
@@ -292,8 +307,15 @@ def emb_near_dups_d256(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb_path = ensure_embeddings_hd(sf_dir)
     emb = spark.read.parquet(emb_path)
+    try:
+        import pyarrow.parquet as _pq
+
+        corpus_n = _pq.ParquetFile(emb_path).metadata.num_rows
+    except Exception:  # noqa: BLE001 - stats unavailable: operator counts
+        corpus_n = None
     return similarity.near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.9, dim=256, n_planes=10, n_tables=16
+        emb, "vec_id", "embedding", threshold=0.9, dim=256, n_planes=10, n_tables=16,
+        corpus_n=corpus_n,
     )
 
 
@@ -345,12 +367,15 @@ def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = mm.with_image_embeddings(
         imgs, "img_id", "bytes", width=EMB_IMG_W, height=EMB_IMG_H
     )
-    # near_dup_pairs references its input 4x (auto-cap count, sketch, and
-    # both exact-verify sides). Over a parquet scan those are cheap
-    # re-scans; here the input is a COMPUTED decode+embed pass, so persist
-    # it — decode runs once. The 100 TB form materializes the embedding
-    # table explicitly (one decode job, then dedup reads parquet).
-    emb = emb.persist()
+    # near_dup_pairs references its input 3x (sketch + both exact-verify
+    # sides). Over a parquet scan those are cheap re-scans; here the input
+    # is a COMPUTED decode+embed pass, so localCheckpoint it (round-5
+    # ADVICE fix: persist() pinned cache blocks for the whole session —
+    # checkpoint blocks are GC'd with the DataFrame once the query
+    # materializes, so gate/bench runs of many queries don't accumulate).
+    # The 100 TB form materializes the embedding table explicitly (one
+    # decode job, then dedup reads parquet).
+    emb = emb.localCheckpoint(eager=True)
     return similarity.near_dup_pairs(
         emb,
         "_id",
@@ -359,6 +384,7 @@ def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=EMB_IMG_W * EMB_IMG_H * 3,
         n_planes=8,
         n_tables=16,
+        corpus_n=emb.count(),  # free on the checkpointed blocks
     )
 
 

@@ -237,8 +237,10 @@ class ExactlyOnceParquetSink:
         deletes (an expire step could, trading history for file count).
         """
         manifests = self.committed_manifests()
-        epoch_ms = [m for m in manifests if "covers_max" not in m]
-        compacts = [m for m in manifests if "covers_max" in m]
+        all_epoch_ms = [m for m in manifests if "covers_max" not in m]
+        all_compacts = [m for m in manifests if "covers_max" in m]
+        epoch_ms = all_epoch_ms
+        compacts = all_compacts
         if as_of_epoch is not None:
             epoch_ms = [m for m in epoch_ms if m["epoch_id"] <= as_of_epoch]
             compacts = [c for c in compacts if c["covers_max"] <= as_of_epoch]
@@ -247,6 +249,30 @@ class ExactlyOnceParquetSink:
         if use_compacted and best is not None:
             files += [self._join(best["dir"], f) for f in best["files"]]
             epoch_ms = [m for m in epoch_ms if m["epoch_id"] > best["covers_max"]]
+        # Expiry detection (round-5 fix): an epoch listed in ANY compaction's
+        # ``covers`` existed once; if its per-epoch manifest is gone now it was
+        # expired. If the current selection would NEED that epoch (it falls in
+        # the requested snapshot and is not served by the chosen compacted
+        # fileset), the snapshot is unreconstructable — raise instead of
+        # silently returning partial data (Iceberg's expired-snapshot error).
+        present = {m["epoch_id"] for m in all_epoch_ms}
+        known = set()
+        for c in all_compacts:
+            known.update(c.get("covers", []))
+        needed = {
+            e
+            for e in known
+            if (as_of_epoch is None or e <= as_of_epoch)
+            and not (use_compacted and best is not None and e <= best["covers_max"])
+        }
+        missing = sorted(needed - present)
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot needs expired epochs {missing} in {self.table_dir}: "
+                "their per-epoch manifests were deleted by expire_epochs() and "
+                "the selected compaction does not cover them (time travel to an "
+                "expired epoch, or use_compacted=False after expiry)"
+            )
         for m in epoch_ms:
             files += [self._join(m["dir"], f) for f in m["files"]]
         return files
@@ -292,7 +318,19 @@ class ExactlyOnceParquetSink:
             )
         if up_to_epoch is None:
             up_to_epoch = max(epochs)
-        df = self.read(spark, as_of_epoch=up_to_epoch, use_compacted=False)
+        # Round-5 fix (ADVICE high): source the rewrite with
+        # use_compacted=True so a prior compacted fileset — possibly the ONLY
+        # remaining copy of epochs expire_epochs() already swept — folds into
+        # the new one. Reading use_compacted=False here after a
+        # compact→expire cycle would silently drop the expired epochs' rows
+        # while still claiming covers_max=up_to_epoch.
+        df = self.read(spark, as_of_epoch=up_to_epoch, use_compacted=True)
+        prior = [c for c in self.committed_manifests() if "covers_max" in c]
+        prior = [c for c in prior if c["covers_max"] <= up_to_epoch]
+        prior_best = max(prior, key=lambda c: c["covers_max"], default=None)
+        covers = set(e for e in epochs if e <= up_to_epoch)
+        if prior_best is not None:
+            covers.update(prior_best.get("covers", []))
         run_id = uuid.uuid4().hex[:12]
         out_dir = self._join(DATA_DIR, f"compact={up_to_epoch}-{run_id}")
         df.write.mode("overwrite").parquet(out_dir)
@@ -301,7 +339,7 @@ class ExactlyOnceParquetSink:
         )
         manifest = {
             "covers_max": up_to_epoch,
-            "covers": sorted(e for e in epochs if e <= up_to_epoch),
+            "covers": sorted(covers),
             "dir": f"{DATA_DIR}/compact={up_to_epoch}-{run_id}",
             "files": files,
         }
@@ -344,6 +382,43 @@ class ExactlyOnceParquetSink:
             io.delete(self._join(m["dir"]), recursive=True)
             expired.append(m["epoch_id"])
         return {"expired": sorted(expired), "covers_max": best["covers_max"]}
+
+    def gc_orphans(self, grace_age_sec: float = 3600.0) -> dict:
+        """Sweep data dirs referenced by NO manifest (round-5, VERDICT #7).
+
+        Orphans arise from (a) a writer that crashed after ``df.write`` but
+        before its manifest renamed in, and (b) ``expire_epochs`` crashing
+        between manifest delete and data-dir delete. Both are invisible to
+        readers (snapshot isolation), so deleting them is always safe for
+        correctness — the grace age only protects an IN-FLIGHT epoch whose
+        manifest has not renamed in yet (Iceberg's
+        ``remove_orphan_files(older_than)`` contract). Local-path sinks only:
+        mtime via os.stat; on a DFS use the engine's Iceberg drop-in, whose
+        native action does the same sweep.
+        """
+        import time
+
+        io = self._ensure_io()
+        if not isinstance(io, _LocalManifestIO):
+            raise NotImplementedError(
+                "gc_orphans uses local mtimes; on a DFS use Iceberg's "
+                "remove_orphan_files"
+            )
+        referenced = {m["dir"] for m in self.committed_manifests()}
+        data_root = self._join(DATA_DIR)
+        now = time.time()
+        removed, kept_young = [], []
+        for name in io.listdir(data_root):
+            rel = f"{DATA_DIR}/{name}"
+            if rel in referenced:
+                continue
+            full = self._join(DATA_DIR, name)
+            if now - os.stat(full).st_mtime < grace_age_sec:
+                kept_young.append(rel)
+                continue
+            io.delete(full, recursive=True)
+            removed.append(rel)
+        return {"removed": sorted(removed), "kept_young": sorted(kept_young)}
 
     def read_latest(self, spark: SparkSession, key_cols: list[str]) -> DataFrame:
         """Merge-on-read for update-mode streams: latest epoch wins per key.
