@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- audio graft pipeline (SURVEY.md §2.3/§2.4) ---
         "audio_window_tumbling": audio.audio_window_tumbling,
+        "audio_stream_tumbling_sink": audio.audio_stream_tumbling_sink,
         "audio_window_sliding": audio.audio_window_sliding,
         "audio_window_session": audio.audio_window_session,
         "audio_decode_validity": audio.audio_decode_validity,
@@ -191,6 +192,16 @@ def oracle_sql() -> dict[str, str]:
     ensure_golden_image_near_dups("/root/testdata/sf0.01")
     return {
         "audio_window_tumbling": f"""
+            SELECT CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS window_start_s,
+                   bucket,
+                   CAST(count(*) AS BIGINT) AS n_clips,
+                   CAST(sum(dur_ms) AS BIGINT) AS sum_dur_ms,
+                   round(avg(rms), 6) AS mean_rms,
+                   CAST(sum(n_samples) AS BIGINT) AS sum_samples
+            FROM {_GOLDEN} WHERE valid
+            GROUP BY 1, 2
+        """,
+        "audio_stream_tumbling_sink": f"""
             SELECT CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS window_start_s,
                    bucket,
                    CAST(count(*) AS BIGINT) AS n_clips,
@@ -589,11 +600,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "image_thumbnails": f"""
             SELECT img_id, container, thumb_md5, thumb_len
-            FROM read_parquet('{FIXTURES_SF01}/golden_thumbnails.parquet')
+            FROM read_parquet('{FIXTURES_SF01}/golden_thumbnails_v2.parquet')
         """,
         "image_near_dups": f"""
             SELECT id_a, id_b, cosine
-            FROM read_parquet('{FIXTURES_SF01}/golden_image_near_dups.parquet')
+            FROM read_parquet('{FIXTURES_SF01}/golden_image_near_dups_v2.parquet')
         """,
         "emb_label_centroids": """
             WITH e AS (SELECT label, unnest(embedding) AS v FROM embeddings)

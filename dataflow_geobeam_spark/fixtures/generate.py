@@ -701,14 +701,17 @@ IMG_ROWS_PER_SF = 6400  # sf0.01 -> 64, sf0.1 -> 640
 THUMB_W, THUMB_H = 16, 12
 
 
-_IMG_FMTS = ("ppm", "bmp", "pgm")
+_IMG_FMTS = ("ppm", "bmp", "pgm", "png")
+_PNG_CTS = (2, 6, 0)  # RGB, RGBA(opaque), grayscale — all lossless round-trips
 
 
-def _encode_image(img: np.ndarray, fmt: str) -> bytes:
+def _encode_image(img: np.ndarray, fmt: str, png_ct: int = 2) -> bytes:
     if fmt == "ppm":
         return independent.ppm_bytes(img)
     if fmt == "bmp":
         return independent.bmp_bytes(img)
+    if fmt == "png":
+        return independent.png_bytes(img, png_ct)
     return independent.pgm_bytes(img)
 
 
@@ -717,8 +720,10 @@ def ensure_images(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
     binary, fmt string, width int32, height int32).
 
     Deterministic noise RGB images cycling PPM (P6, with a header
-    comment), 24bpp BMP, and P5 PGM containers (PGM rows are grayscale —
-    identical channels — so the single-channel round-trip is lossless),
+    comment), 24bpp BMP, P5 PGM, and (round 5) 8-bit PNG containers —
+    PNGs cycle color types RGB / opaque-RGBA / grayscale and ALL five
+    scanline filters, so every unfilter path decodes for real; grayscale
+    rows keep identical channels so the round-trip stays lossless —
     encoded by the INDEPENDENT from-spec writers in fixtures.independent
     (the engine's decoders in functions/imaging.py never touch these
     bytes at generation time). Planted content: every i%9==4 image is a
@@ -729,32 +734,34 @@ def ensure_images(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
     """
     out_dir = fixtures_dir_for(sf_dir, root)
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, "images.parquet")
+    path = os.path.join(out_dir, "images_v2.parquet")
     if os.path.exists(path):
         return path
     n = max(64, int(IMG_ROWS_PER_SF * sf_from_dir(sf_dir)))
     ids, bufs, fmts, ws, hs = [], [], [], [], []
-    prev_img, prev_fmt = None, None
+    prev_img, prev_fmt, prev_ct = None, None, 2
     for i in range(n):
         rng = np.random.default_rng([SEED, 9_000_000 + i])
+        png_ct = _PNG_CTS[(i // 4) % 3]
         if i % 9 == 4 and prev_img is not None:
             # planted near-dup: same dims/container as i-1, pixels +-2
             noise = rng.integers(-2, 3, prev_img.shape)
             img = np.clip(prev_img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
-            fmt = prev_fmt
-            if fmt == "pgm":  # keep channels identical for the P5 round-trip
+            fmt, png_ct = prev_fmt, prev_ct
+            if fmt == "pgm" or (fmt == "png" and png_ct == 0):
+                # keep channels identical for the grayscale round-trips
                 img = np.repeat(img[:, :, :1], 3, axis=2)
         else:
             w = 16 + int(rng.integers(0, 49))
             h = 12 + int(rng.integers(0, 37))
-            fmt = _IMG_FMTS[i % 3]
-            if fmt == "pgm":
+            fmt = _IMG_FMTS[i % 4]
+            if fmt == "pgm" or (fmt == "png" and png_ct == 0):
                 gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
                 img = np.repeat(gray[:, :, None], 3, axis=2)
             else:
                 img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-        buf = _encode_image(img, fmt)
-        prev_img, prev_fmt = img, fmt
+        buf = _encode_image(img, fmt, png_ct)
+        prev_img, prev_fmt, prev_ct = img, fmt, png_ct
         if i % 13 == 5:  # truncate mid-raster; magic bytes survive
             buf = buf[: max(8, int(len(buf) * 0.6))]
         ids.append(f"img{i:06d}")
@@ -793,7 +800,7 @@ def ensure_golden_thumbnails(
 
     images_path = ensure_images(sf_dir, root)
     out_dir = fixtures_dir_for(sf_dir, root)
-    path = os.path.join(out_dir, "golden_thumbnails.parquet")
+    path = os.path.join(out_dir, "golden_thumbnails_v2.parquet")
     if os.path.exists(path):
         return path
     t = pq.read_table(images_path)
@@ -845,7 +852,7 @@ def ensure_golden_image_near_dups(
 
     images_path = ensure_images(sf_dir, root)
     out_dir = fixtures_dir_for(sf_dir, root)
-    path = os.path.join(out_dir, "golden_image_near_dups.parquet")
+    path = os.path.join(out_dir, "golden_image_near_dups_v2.parquet")
     if os.path.exists(path):
         return path
     t = pq.read_table(images_path, columns=["img_id", "bytes"])

@@ -328,14 +328,175 @@ def decode_pgm_image(buf: bytes) -> np.ndarray:
     return np.stack([gray, gray, gray], axis=2)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    """length + type + data + CRC32(type+data), per the PNG spec."""
+    import struct as _s
+    import zlib as _z
+
+    return (
+        _s.pack(">I", len(data))
+        + ctype
+        + data
+        + _s.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(cur: list[int], prev: list[int], ftype: int, bpp: int) -> list[int]:
+    """Apply (forward) scanline filter ``ftype`` — pure-Python per-byte
+    loops, straight from the spec's filter definitions."""
+    n = len(cur)
+    out = []
+    for x in range(n):
+        a = cur[x - bpp] if x >= bpp else 0  # left (recon)
+        b = prev[x]  # up (recon)
+        c = prev[x - bpp] if x >= bpp else 0  # up-left (recon)
+        if ftype == 0:
+            out.append(cur[x])
+        elif ftype == 1:
+            out.append((cur[x] - a) & 0xFF)
+        elif ftype == 2:
+            out.append((cur[x] - b) & 0xFF)
+        elif ftype == 3:
+            out.append((cur[x] - ((a + b) >> 1)) & 0xFF)
+        else:  # Paeth
+            p = a + b - c
+            pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+            out.append((cur[x] - pred) & 0xFF)
+    return out
+
+
+def png_bytes(img: np.ndarray, color_type: int = 2) -> bytes:
+    """(h, w, 3) uint8 -> 8-bit PNG. color_type 2 = RGB, 6 = RGBA with
+    opaque alpha (lossless to drop), 0 = grayscale from channel 0. Rows
+    cycle ALL five filter types (y % 5) so the engine's unfilter paths
+    are genuinely exercised, not just filter-0."""
+    import struct as _s
+    import zlib as _z
+
+    h, w = img.shape[:2]
+    if color_type == 0:
+        px = [[int(img[y, x, 0]) for x in range(w)] for y in range(h)]
+        ch = 1
+    elif color_type == 2:
+        px = [
+            [int(img[y, x, c]) for x in range(w) for c in range(3)] for y in range(h)
+        ]
+        ch = 3
+    elif color_type == 6:
+        px = [
+            [v for x in range(w) for v in (*(int(img[y, x, c]) for c in range(3)), 255)]
+            for y in range(h)
+        ]
+        ch = 4
+    else:
+        raise ValueError(f"independent png encoder: color type {color_type}")
+    # forward-filter each scanline; prev is the RECONSTRUCTED previous row
+    stream = bytearray()
+    prev = [0] * (w * ch)
+    for y in range(h):
+        ftype = y % 5
+        stream.append(ftype)
+        stream.extend(_png_filter_row(px[y], prev, ftype, ch))
+        prev = px[y]
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(stream)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_image(buf: bytes) -> np.ndarray:
+    """8-bit PNG decode, second implementation: pure-Python chunk walk +
+    per-byte unfilter loops (the engine vectorizes None/Up rows and uses
+    one numpy pass per image)."""
+    import struct as _s
+    import zlib as _z
+
+    if buf[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("independent png: bad signature")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    saw_end = False
+    while pos + 8 <= len(buf):
+        (length,) = _s.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("independent png: truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        pos += 12 + length
+        if ctype == b"IEND":
+            saw_end = True
+            break
+    if not saw_end or ihdr is None:
+        raise ValueError("independent png: truncated stream")
+    w, h, depth, color, comp, filt, interlace = _s.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+        raise ValueError("independent png: unsupported IHDR")
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    stream = _z.decompress(bytes(idat))
+    stride = w * ch
+    if len(stream) != h * (1 + stride):
+        raise ValueError("independent png: bad scanline stream length")
+    rows: list[list[int]] = []
+    prev = [0] * stride
+    for y in range(h):
+        off = y * (1 + stride)
+        ftype = stream[off]
+        line = list(stream[off + 1 : off + 1 + stride])
+        cur: list[int] = []
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                v = line[x]
+            elif ftype == 1:
+                v = (line[x] + a) & 0xFF
+            elif ftype == 2:
+                v = (line[x] + b) & 0xFF
+            elif ftype == 3:
+                v = (line[x] + ((a + b) >> 1)) & 0xFF
+            elif ftype == 4:
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                v = (line[x] + pred) & 0xFF
+            else:
+                raise ValueError(f"independent png: filter {ftype}")
+            cur.append(v)
+        rows.append(cur)
+        prev = cur
+    arr = np.asarray(rows, dtype=np.uint8).reshape(h, w, ch)
+    if color == 0:
+        return np.repeat(arr, 3, axis=2)
+    if color == 4:
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    if color == 6:
+        return np.ascontiguousarray(arr[:, :, :3])
+    return arr
+
+
 def decode_any_image(buf: bytes) -> np.ndarray:
-    """Magic-dispatched independent decode (PPM/PGM/BMP)."""
+    """Magic-dispatched independent decode (PPM/PGM/BMP/PNG)."""
     if buf[:2] == b"P6":
         return decode_ppm_image(buf)
     if buf[:2] == b"P5":
         return decode_pgm_image(buf)
     if buf[:2] == b"BM":
         return decode_bmp_image(buf)
+    if buf[:4] == _PNG_SIG[:4]:
+        return decode_png_image(buf)
     raise ValueError(f"independent: unsupported container {buf[:4]!r}")
 
 

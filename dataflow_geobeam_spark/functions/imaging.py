@@ -159,6 +159,150 @@ def decode_bmp(buf: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# PNG: 8-byte signature + length/type/data/crc chunks; IHDR geometry, IDAT
+# zlib stream of filtered scanlines, IEND. Spec: W3C/ISO PNG (public).
+# zlib is stdlib, so unlike JPEG this needs no imaging library (round-5
+# VERDICT #3).
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per color type: 0 gray, 2 RGB, 4 gray+alpha, 6 RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(buf: bytes):
+    """Yield (type, data) for each chunk; validates lengths, not CRCs
+    (decoders commonly skip CRC verification; truncation is what the
+    fixture corpus actually injects and it surfaces as a length error)."""
+    pos = len(PNG_SIG)
+    n = len(buf)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ImageDecodeError(
+                f"png: chunk {ctype!r} truncated ({len(data)}/{length} bytes)"
+            )
+        yield ctype, data
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+    raise ImageDecodeError("png: missing IEND (truncated stream)")
+
+
+def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters. ``raw`` is the decompressed
+    stream reshaped to (height, 1 + stride); returns (height, stride)
+    recovered bytes.
+
+    Filters None(0) and Up(2) vectorize across the row; Sub(1),
+    Average(3) and Paeth(4) carry a left-neighbor dependency, so they run
+    a per-byte loop — inherent to the format, and bounded by scanline
+    width (this kernel handles one image; batch parallelism comes from
+    the mapInArrow plumbing above it).
+    """
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0  # left
+                b = prev[x]  # up
+                c = prev[x - bpp] if x >= bpp else 0  # up-left
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa_ <= pb and pa_ <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ImageDecodeError(f"png: unknown filter type {ftype} on row {y}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """8-bit PNG -> (height, width, 3) uint8 RGB array.
+
+    Supported: bit depth 8, color types 0 (grayscale, replicated to RGB),
+    2 (RGB), 4 (gray+alpha) and 6 (RGBA) — alpha is dropped (the module's
+    uniform-shape contract is RGB; compositing policy belongs to the
+    caller). Adam7 interlacing is REJECTED explicitly: none of this
+    repo's corpora are interlaced, and silently mis-decoding would be
+    worse than refusing. Palette (type 3) and 16-bit depths likewise
+    raise.
+    """
+    import zlib
+
+    if buf[: len(PNG_SIG)] != PNG_SIG:
+        raise ImageDecodeError("png: bad signature")
+    ihdr = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(buf):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+    if ihdr is None or len(ihdr) != 13:
+        raise ImageDecodeError("png: missing/short IHDR")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if width <= 0 or height <= 0:
+        raise ImageDecodeError("png: non-positive dimensions")
+    if depth != 8:
+        raise ImageDecodeError(f"png: unsupported bit depth {depth} (want 8)")
+    if color not in _PNG_CHANNELS:
+        raise ImageDecodeError(f"png: unsupported color type {color}")
+    if comp != 0 or filt != 0:
+        raise ImageDecodeError("png: unknown compression/filter method")
+    if interlace != 0:
+        raise ImageDecodeError("png: Adam7 interlacing not supported")
+    if not idat:
+        raise ImageDecodeError("png: no IDAT data")
+    try:
+        stream = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ImageDecodeError(f"png: IDAT inflate failed ({e})") from None
+    ch = _PNG_CHANNELS[color]
+    stride = width * ch
+    if len(stream) != height * (1 + stride):
+        raise ImageDecodeError(
+            f"png: scanline stream {len(stream)} != {height * (1 + stride)} bytes"
+        )
+    raw = np.frombuffer(stream, dtype=np.uint8).reshape(height, 1 + stride)
+    px = _png_unfilter(raw, height, stride, ch).reshape(height, width, ch)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 2:
+        return px
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])  # RGBA: drop alpha
+
+
+# ---------------------------------------------------------------------------
 # nearest-neighbor resize
 # ---------------------------------------------------------------------------
 
@@ -176,15 +320,18 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Dispatch on magic bytes to a pure-Python decoder. PPM and BMP are
-    decoded here from spec; other containers raise (callers fall back to
-    the PIL gate / deterministic fake in functions/multimodal.py)."""
+    """Dispatch on magic bytes to a pure-Python decoder. PPM, PGM, BMP and
+    PNG (round 5) are decoded here from spec; other containers raise
+    (callers fall back to the PIL gate / deterministic fake in
+    functions/multimodal.py)."""
     if buf[:2] == b"P6":
         return decode_ppm(buf)
     if buf[:2] == b"P5":
         return decode_pgm(buf)
     if buf[:2] == b"BM":
         return decode_bmp(buf)
+    if buf[: len(PNG_SIG)] == PNG_SIG or buf[:4] == PNG_SIG[:4]:
+        return decode_png(buf)
     raise ImageDecodeError(f"unsupported container (magic {buf[:4]!r})")
 
 

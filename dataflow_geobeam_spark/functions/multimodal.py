@@ -8,16 +8,19 @@ SURVEY.md §1.2).
 What is REAL here (and tested):
 * container sniffing from magic bytes (pure Catalyst on the binary prefix)
 * the mapInPandas/mapInArrow plumbing — schemas, batch shapes, partitioning
-* PPM (P6) and 24-bit BMP decode + nearest-neighbor resize + PPM re-encode
-  — pure-Python from-spec codecs in ``functions/imaging.py`` (round 4), no
-  imaging library needed; golden-gated in the driver contract
+* PPM (P6) / PGM (P5) / 24-bit BMP / 8-bit PNG (round 5 — zlib inflate +
+  all five scanline filters, from the public spec) decode + nearest-
+  neighbor resize + PPM re-encode — pure-Python from-spec codecs in
+  ``functions/imaging.py``, no imaging library needed; golden-gated in
+  the driver contract
 * a deterministic fake feature extractor (content-hash derived vector) that
   exercises the exact pipeline a real extractor would use
 
 What is STUBBED (this container ships no image/vision libs):
-* PNG/JPEG decode / resize and video frame-sample raise
-  ``NotImplementedError`` behind an import-try gate for PIL — on a cluster
-  with Pillow installed the real path activates with no code change.
+* JPEG (DCT entropy coding is out of from-spec scope) decode / resize and
+  video frame-sample raise ``NotImplementedError`` behind an import-try
+  gate for PIL — on a cluster with Pillow installed the real path
+  activates with no code change.
 """
 
 from __future__ import annotations
@@ -155,11 +158,11 @@ def with_thumbnails(
     Kernel dispatch (round-4 VERDICT #5 — one multimodal kernel is now
     REAL, no imaging lib needed):
 
-    * PPM ("P6") / BMP ("BM") payloads: from-spec decode -> nearest-
-      neighbor resize -> P6 PPM re-encode (functions/imaging.py). A
-      malformed payload yields a NULL thumbnail — decode-failure =>
-      invalid row, the same F1/make_valid semantics the audio decode path
-      uses.
+    * PPM ("P6") / PGM ("P5") / BMP ("BM") / PNG (round 5) payloads:
+      from-spec decode -> nearest-neighbor resize -> P6 PPM re-encode
+      (functions/imaging.py). A malformed payload yields a NULL thumbnail
+      — decode-failure => invalid row, the same F1/make_valid semantics
+      the audio decode path uses.
     * other containers: PIL resize when installed (PNG/JPEG/...), else the
       deterministic content-hash fake — the plumbing (batching, null
       propagation, schema) is identical either way.
@@ -174,7 +177,7 @@ def with_thumbnails(
     keep_names = [f.name for f in keep]
 
     def _kernel(b: bytes) -> bytes | None:
-        if b[:2] in (b"P6", b"P5", b"BM"):
+        if b[:2] in (b"P6", b"P5", b"BM") or b[:4] == b"\x89PNG":
             try:
                 return thumbnail_ppm(b, width, height)
             except ImageDecodeError:

@@ -54,6 +54,56 @@ def audio_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_stream_tumbling_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP, STREAMING FORM, in the hash gate (round-5 VERDICT #5):
+    runs the full structured-streaming pipeline to completion inside the
+    driver query — paced availableNow micro-batches (8 files, 1 per
+    trigger) -> watermarked decode -> update-mode tumbling aggregate ->
+    the exactly-once manifest sink with a fresh checkpoint — then returns
+    the COMMITTED sink output resolved by merge-on-read (latest epoch per
+    (window, bucket)).
+
+    Update mode + ``read_latest`` has full row-set equality with the
+    batch aggregate (pinned by tests/test_streaming.py::
+    test_streaming_update_mode_equals_batch), so the DuckDB oracle is the
+    same SQL as ``audio_window_tumbling`` — streaming semantics
+    (watermark, state, epoch commit protocol, lineage columns) pass
+    through the exact same rows+schema+hash gate as every batch operator.
+    The salted/append variants stay test-verified (their emitted set
+    depends on per-batch watermark progression, which ANSI SQL cannot
+    express)."""
+    import os
+    import tempfile
+
+    from dataflow_geobeam_spark.streaming import pipeline
+
+    fixture_dir = ensure_fixtures(sf_dir)
+    base = tempfile.mkdtemp(prefix="spark_graft_stream_gate_")
+    stream_dir = pipeline.prepare_stream_dir_arrival_order(fixture_dir, n_files=8)
+    query, sink = pipeline.run_streaming_window_agg(
+        spark,
+        fixture_dir,
+        os.path.join(base, "table"),
+        os.path.join(base, "ckpt"),
+        n_files=8,
+        max_files_per_trigger=1,
+        output_mode="update",
+        stream_dir=stream_dir,
+    )
+    if not query.awaitTermination(600):
+        query.stop()
+        raise TimeoutError("streaming gate query did not drain in 600s")
+    latest = sink.read_latest(spark, ["window_start", "bucket"])
+    return latest.select(
+        epoch_seconds("window_start").alias("window_start_s"),
+        "bucket",
+        "n_clips",
+        "sum_dur_ms",
+        F.round("mean_rms", 6).alias("mean_rms"),
+        "sum_samples",
+    )
+
+
 def audio_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 10s/5s windows — each row contributes to exactly two windows."""
     agg = windows.sliding(

@@ -46,6 +46,46 @@ def prepare_stream_dir(
     return stream_dir
 
 
+def prepare_stream_dir_arrival_order(fixture_dir: str, n_files: int = 8) -> str:
+    """Materialize the clips table as N files in ARRIVAL order (round 5).
+
+    ``prepare_stream_dir`` hash-splits rows, so every micro-batch spans the
+    whole event-time range and the advancing watermark classifies most of
+    each later batch as late — fine for drop-accounting tests, wrong as the
+    production stream shape. A real stream arrives roughly in event-time
+    order with BOUNDED disorder, and the watermark is sized to that bound.
+    The fixture's generation order IS its arrival order (ts == T0 + 100ms*i
+    except ~5% of rows shifted up to 90 s early), so slicing the original
+    row order into consecutive files gives paced micro-batches with genuine
+    intra-stream disorder that the 2-minute watermark provably never drops
+    — at ANY scale factor, since the disorder bound is scale-free.
+
+    File mtimes are set ascending so FileStreamSource (oldest-first)
+    admits them in arrival order under ``maxFilesPerTrigger``.
+    """
+    import time
+
+    import pyarrow.parquet as apq
+
+    stream_dir = os.path.join(fixture_dir, f"clips_stream_arrival_{n_files}")
+    done = os.path.join(stream_dir, "_PREPARED")
+    if os.path.exists(done):
+        return stream_dir
+    os.makedirs(stream_dir, exist_ok=True)
+    t = apq.read_table(os.path.join(fixture_dir, "clips.parquet"))
+    n = t.num_rows
+    base = time.time() - n_files - 10
+    for k in range(n_files):
+        lo = k * n // n_files
+        hi = (k + 1) * n // n_files
+        path = os.path.join(stream_dir, f"part-{k:05d}.parquet")
+        apq.write_table(t.slice(lo, hi - lo), path, compression="zstd")
+        os.utime(path, (base + k, base + k))
+    with open(done, "w") as f:
+        f.write("ok")
+    return stream_dir
+
+
 def stream_clips_dir(
     spark: SparkSession, stream_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:

@@ -265,3 +265,114 @@ def test_near_dup_n_planes_auto_resolves(spark, sf_dir):
         )
     )
     assert auto == fixed
+
+
+# ---------------------------------------------------------------------------
+# PNG from spec (round-5 VERDICT #3)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_engine_vs_independent():
+    """Engine decode_png and the independent per-byte decoder agree with
+    the independent encoder across color types, sizes, and ALL five
+    scanline filters (the encoder cycles them per row)."""
+    import numpy as np
+
+    from dataflow_geobeam_spark.fixtures import independent as ind
+    from dataflow_geobeam_spark.functions import imaging as eng
+
+    rng = np.random.default_rng(13)
+    for h, w in [(1, 1), (6, 9), (17, 23)]:
+        for ct in (0, 2, 6):
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            if ct == 0:
+                img = np.repeat(img[:, :, :1], 3, axis=2)
+            buf = ind.png_bytes(img, ct)
+            assert np.array_equal(eng.decode_png(buf), img), (h, w, ct)
+            assert np.array_equal(ind.decode_png_image(buf), img), (h, w, ct)
+
+
+def test_png_rejects_malformed_and_interlaced():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dataflow_geobeam_spark.fixtures import independent as ind
+    from dataflow_geobeam_spark.functions import imaging as eng
+
+    img = np.random.default_rng(1).integers(0, 256, (10, 10, 3), dtype=np.uint8)
+    buf = ind.png_bytes(img, 2)
+    with _pytest.raises(eng.ImageDecodeError):
+        eng.decode_png(buf[: len(buf) // 2])  # truncated IDAT
+    with _pytest.raises(eng.ImageDecodeError):
+        eng.decode_png(b"\x89PNG\r\n\x1a\njunk")  # no chunks
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)  # interlace=1
+    bad = (
+        ind._PNG_SIG
+        + ind._png_chunk(b"IHDR", ihdr)
+        + ind._png_chunk(b"IDAT", b"x")
+        + ind._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(eng.ImageDecodeError, match="interlac"):
+        eng.decode_png(bad)
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)  # 16-bit depth
+    bad16 = (
+        ind._PNG_SIG
+        + ind._png_chunk(b"IHDR", ihdr16)
+        + ind._png_chunk(b"IDAT", b"x")
+        + ind._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(eng.ImageDecodeError, match="depth"):
+        eng.decode_png(bad16)
+
+
+def test_png_rows_flow_through_thumbnail_pipeline(spark, sf_dir):
+    """The images fixture now carries PNG rows; every intact PNG decodes
+    to a non-null thumbnail sniffed as 'png', and truncated PNGs surface
+    NULL (F1 semantics)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_geobeam_spark.fixtures.generate import THUMB_H, THUMB_W, ensure_images
+    from dataflow_geobeam_spark.functions import multimodal as mm
+
+    imgs = spark.read.parquet(ensure_images(sf_dir)).where(F.col("fmt") == "png")
+    n_png = imgs.count()
+    assert n_png > 0, "fixture corpus must contain PNG rows"
+    # inject one mid-IDAT truncation (the small-sf corpus may not happen to
+    # place a truncation on a PNG index)
+    one = imgs.limit(1).select(
+        F.concat(F.lit("trunc-"), "img_id").alias("img_id"),
+        F.substring("bytes", 1, 40).alias("bytes"),
+        "fmt", "width", "height",
+    )
+    out = mm.with_thumbnails(imgs.unionByName(one), width=THUMB_W, height=THUMB_H).select(
+        "img_id", mm.sniff_container("bytes").alias("c"), "thumbnail"
+    )
+    rows = out.collect()
+    assert all(r.c == "png" for r in rows)
+    nulls = {r.img_id for r in rows if r.thumbnail is None}
+    assert any(i.startswith("trunc-") for i in nulls)  # truncated -> NULL
+    assert sum(1 for r in rows if r.thumbnail is not None) > 0
+
+
+# ---------------------------------------------------------------------------
+# streaming query in the driver hash gate (round-5 VERDICT #5)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_stream_tumbling_sink_equals_batch_flagship(spark, sf_dir, fixture_dir):
+    """The gate's streaming query (paced availableNow micro-batches ->
+    update-mode windowed agg -> exactly-once sink -> merge-on-read) returns
+    exactly the batch flagship's rows, and really ran multiple epochs.
+    The arrival-order stream split keeps the fixture's bounded (<=90 s)
+    event-time disorder under the 2-minute watermark, so no row is
+    late-dropped at any scale factor."""
+    from dataflow_geobeam_spark.plans.audio import (
+        audio_stream_tumbling_sink,
+        audio_window_tumbling,
+    )
+
+    got = {tuple(r) for r in audio_stream_tumbling_sink(spark, sf_dir).collect()}
+    want = {tuple(r) for r in audio_window_tumbling(spark, sf_dir).collect()}
+    assert got == want and len(got) > 100
