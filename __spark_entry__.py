@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_bucket_agg_salted": audio.audio_bucket_agg_salted,
         "audio_frame_rms": audio.audio_frame_rms,
         "audio_spectral": audio.audio_spectral,
+        "audio_near_dups": audio.audio_near_dups,
         # --- relational operator coverage (SURVEY.md §2.4) ---
         "tpch_q1_pricing_summary": relational.q1_pricing_summary_rounded,
         "tpch_q6_forecast_revenue": relational.q6_rounded,
@@ -190,6 +191,11 @@ def oracle_sql() -> dict[str, str]:
 
     ensure_golden_thumbnails("/root/testdata/sf0.01")
     ensure_golden_image_near_dups("/root/testdata/sf0.01")
+    # round-5: planted audio near-dup corpus + all-pairs BER golden over
+    # independent fingerprints of independently decoded payloads
+    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_audio_near_dups
+
+    ensure_golden_audio_near_dups("/root/testdata/sf0.01")
     return {
         "audio_window_tumbling": f"""
             SELECT CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS window_start_s,
@@ -426,6 +432,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT clip_id, spectral_centroid_hz, spectral_bandwidth_hz,
                    spectral_rolloff_hz
             FROM read_parquet('{FIXTURES_SF01}/golden_spectral.parquet')
+        """,
+        "audio_near_dups": f"""
+            SELECT id_a, id_b, ber
+            FROM read_parquet('{FIXTURES_SF01}/golden_audio_near_dups.parquet')
         """,
         "dedup_exact_transcripts": f"""
             SELECT t_clip_id AS clip_id, CAST(count(*) AS BIGINT) AS n_copies

@@ -11,6 +11,17 @@ Enable with: spark.python.daemon.module=dataflow_geobeam_spark.daemon_preload
 """
 
 # ruff: noqa: F401, E402
+import os
+
+# One task slot == one core: pin the BLAS pools BEFORE numpy loads OpenBLAS
+# (it reads these at library init). Without this every forked worker spawns
+# an nproc-wide OpenBLAS pool, so local[2] silently uses the whole machine
+# for matmul kernels (wrecking any scaling measurement) and the thread
+# thrash is a measured 3x SLOWDOWN on this oversubscribed host. On a real
+# cluster this matches how executors are provisioned (1 core per task).
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 import numpy
 import pandas
 import pyarrow

@@ -1008,3 +1008,156 @@ def ensure_golden_ivfpq_topk(
     )
     pq.write_table(tbl, path, compression="zstd")
     return path
+
+
+# ---------------------------------------------------------------------------
+# audio near-dup fixtures (round 5): planted duplicate clips + BER golden
+# ---------------------------------------------------------------------------
+
+AUDIO_DUP_ROWS_PER_SF = 4800  # sf0.01 -> 48, sf0.1 -> 480
+AUDIO_DUP_MAX_BER = 0.10
+
+
+def ensure_audio_dupes(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+    """Idempotent fixtures/<sf>/audio_dupes.parquet: (clip_id string,
+    bytes binary, sr_hz int32, dur_ms int32, codec string) — a clip
+    corpus with PLANTED near-duplicates for the audio_near_dups query:
+
+    * ``i%7==3``: gain-0.6 copy of clip i-1 (volume shift; fingerprint
+      bits are sign-invariant, BER ~0).
+    * ``i%7==5``: bit-identical PCM of clip i-2 re-encoded in a
+      DIFFERENT (lossy stand-in) codec — the crawl-ingest re-encode case.
+    * ``i%11==7``: 35 dB-SNR additive-noise copy of i-1 (measured BER
+      0.04-0.08, inside the 0.10 gate with margin).
+    * ``i%13==9``: 20 dB-SNR copy of i-1 — a deliberate NEAR-MISS
+      (measured BER 0.25-0.32): it may surface as a candidate via a
+      lucky shared token but must be rejected by the exact BER verify.
+    * ``i%17==11``: truncated payload (decode failure => dropped row).
+
+    Payloads are encoded by fixtures.independent (the engine's codecs
+    module never touches these bytes at generation time).
+    """
+    out_dir = fixtures_dir_for(sf_dir, root)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "audio_dupes.parquet")
+    if os.path.exists(path):
+        return path
+    n = max(48, int(AUDIO_DUP_ROWS_PER_SF * sf_from_dir(sf_dir)))
+    prev: list[tuple[np.ndarray, int, int, str]] = []  # (pcm, sr, dur, codec)
+    ids, bufs, srs, durs, codecs_out = [], [], [], [], []
+    for i in range(n):
+        rng = np.random.default_rng([SEED, 11_000_000 + i])
+        if i % 7 == 3 and len(prev) >= 1:
+            pcm0, sr, dur, codec = prev[-1]
+            pcm = np.clip(0.6 * pcm0, -1.0, 1.0).astype(np.float32)
+        elif i % 7 == 5 and len(prev) >= 2:
+            pcm0, sr, dur, codec0 = prev[-2]
+            pcm = pcm0
+            codec = "mp3" if codec0 != "mp3" else "wav"
+        elif i % 11 == 7 and len(prev) >= 1:
+            pcm0, sr, dur, codec = prev[-1]
+            rms = float(np.sqrt(np.mean(pcm0.astype(np.float64) ** 2)))
+            nstd = rms * 10.0 ** (-35.0 / 20.0)
+            pcm = np.clip(
+                pcm0 + nstd * rng.standard_normal(pcm0.shape), -1.0, 1.0
+            ).astype(np.float32)
+        elif i % 13 == 9 and len(prev) >= 1:
+            pcm0, sr, dur, codec = prev[-1]
+            rms = float(np.sqrt(np.mean(pcm0.astype(np.float64) ** 2)))
+            nstd = rms * 10.0 ** (-20.0 / 20.0)
+            pcm = np.clip(
+                pcm0 + nstd * rng.standard_normal(pcm0.shape), -1.0, 1.0
+            ).astype(np.float32)
+        else:
+            sr = _SR_CYCLE[i % 4]
+            dur = 800 + (i * 331) % 1500
+            codec = _CODEC_CYCLE[(i // 2) % 4]
+            pcm = synth_pcm(5_000_000 + i, sr, dur)
+        buf = independent.encode(pcm, sr, codec)
+        if i % 17 == 11:
+            buf = buf[: max(8, len(buf) // 3)]
+        prev = (prev + [(pcm, sr, dur, codec)])[-2:]
+        ids.append(f"ad{i:06d}")
+        bufs.append(buf)
+        srs.append(sr)
+        durs.append(dur)
+        codecs_out.append(codec)
+    tbl = pa.Table.from_pydict(
+        {
+            "clip_id": pa.array(ids),
+            "bytes": pa.array(bufs, type=pa.binary()),
+            "sr_hz": pa.array(srs, type=pa.int32()),
+            "dur_ms": pa.array(durs, type=pa.int32()),
+            "codec": pa.array(codecs_out),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd")
+    return path
+
+
+def ensure_golden_audio_near_dups(
+    sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT, max_ber: float = AUDIO_DUP_MAX_BER
+) -> str:
+    """Golden for the audio_near_dups driver query: ALL-pairs exact
+    bit-error rate over the independent fingerprints of every DECODABLE
+    fixture clip (equal token counts only — the duration-preserving
+    transform contract), pairs with BER <= ``max_ber``.
+
+    Fingerprints come from fixtures.independent.audio_fingerprint (the
+    per-frame-loop mirror of the engine kernel); BER uses the same
+    mismatches/(16.0*n) float64 division the Catalyst expression
+    performs, rounded like Spark's round(…, 6).
+
+    Generation-time reachability assert: every golden pair must share at
+    least one exact token at the same position, so the engine's
+    Hamming-LSH candidate stage (exact sub-key sampling) can surface it
+    — a planted pair failing this is a fixture bug and raises here
+    rather than surfacing as a driver-gate mismatch.
+    """
+    dupes_path = ensure_audio_dupes(sf_dir, root)
+    out_dir = fixtures_dir_for(sf_dir, root)
+    path = os.path.join(out_dir, "golden_audio_near_dups.parquet")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(dupes_path)
+    ids, fps = [], []
+    for cid, buf, codec, sr in zip(
+        t.column("clip_id").to_pylist(),
+        t.column("bytes").to_pylist(),
+        t.column("codec").to_pylist(),
+        t.column("sr_hz").to_pylist(),
+    ):
+        try:
+            pcm, _sr = independent.decode(buf, codec)
+        except Exception:  # noqa: BLE001 - any decode failure => dropped row
+            continue
+        toks = independent.audio_fingerprint(pcm, sr or _sr)
+        if toks:
+            ids.append(cid)
+            fps.append(toks)
+    rows = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            fa, fb = fps[a], fps[b]
+            if len(fa) != len(fb):
+                continue
+            mism = sum(bin(x ^ y).count("1") for x, y in zip(fa, fb))
+            ber = mism / (16.0 * len(fa))
+            if ber <= max_ber:
+                if not any(x == y for x, y in zip(fa, fb)):
+                    raise AssertionError(
+                        f"golden pair ({ids[a]}, {ids[b]}) shares no exact token: "
+                        "unreachable by the candidate stage"
+                    )
+                id_a, id_b = sorted((ids[a], ids[b]))
+                rows.append({"id_a": id_a, "id_b": id_b, "ber": _spark_round6(ber)})
+    rows.sort(key=lambda r: (r["id_a"], r["id_b"]))
+    tbl = pa.Table.from_pydict(
+        {
+            "id_a": pa.array([r["id_a"] for r in rows]),
+            "id_b": pa.array([r["id_b"] for r in rows]),
+            "ber": pa.array([r["ber"] for r in rows], type=pa.float64()),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd")
+    return path

@@ -532,3 +532,51 @@ def pq_train_codebooks(
                     c[j] = x[members].mean(axis=0)
         books[s] = c
     return books
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint (round 5) — independent per-frame implementation
+# ---------------------------------------------------------------------------
+
+
+def audio_fingerprint(pcm, sr_hz: int):
+    """Independent mirror of functions/audio.fingerprint_np: 64 ms frames
+    at 50% hop, 17 log-spaced band edges over 300-2000 Hz, band energy =
+    prefix-sum differences of the float64 power spectrum (the shared
+    accumulation spec — prefix sums are sequential left-to-right in both
+    implementations, so tokens are bit-identical), bit b of token t =
+    ((E[t,b]-E[t,b+1]) - (E[t-1,b]-E[t-1,b+1])) > 0.
+
+    Code shape differs from the engine kernel on purpose: per-frame
+    Python loop over 1-D FFTs and per-band edge lookups vs the engine's
+    single 2-D vectorized pass.
+    """
+    x = np.asarray(pcm, dtype=np.float64)
+    n_bands = 17
+    frame = int(round(sr_hz * 0.064))
+    hop = frame // 2
+    if frame <= 0 or hop <= 0 or x.size < frame + hop:
+        return []
+    edges = np.geomspace(300.0, 2000.0, n_bands + 1)
+    freqs = np.fft.rfftfreq(frame, d=1.0 / sr_hz)
+    lo_hi = [
+        (int(np.searchsorted(freqs, edges[b])), int(np.searchsorted(freqs, edges[b + 1])))
+        for b in range(n_bands)
+    ]
+    tokens = []
+    prev_diffs = None
+    start = 0
+    while start + frame <= x.size:
+        spec = np.abs(np.fft.rfft(x[start : start + frame])) ** 2
+        prefix = np.concatenate([[0.0], np.cumsum(spec)])
+        energies = [float(prefix[hi] - prefix[lo]) for lo, hi in lo_hi]
+        diffs = [energies[b] - energies[b + 1] for b in range(n_bands - 1)]
+        if prev_diffs is not None:
+            tok = 0
+            for b in range(n_bands - 1):
+                if diffs[b] - prev_diffs[b] > 0:
+                    tok |= 1 << b
+            tokens.append(tok)  # 16 bits in a positive int32, like the engine
+        prev_diffs = diffs
+        start += hop
+    return tokens

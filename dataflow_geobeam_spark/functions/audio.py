@@ -191,3 +191,112 @@ def with_spectral_metrics(
             )
 
     return df.mapInArrow(fn, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: gain-invariant spectral fingerprints (audio near-dup dedup)
+# ---------------------------------------------------------------------------
+
+FP_BANDS = 17  # 17 log-spaced band edges-1 => 16 bits per frame token
+FP_FRAME_SEC = 0.064  # 64 ms frames: sr-independent ~15.6 Hz bin resolution
+FP_F_LO, FP_F_HI = 300.0, 2000.0  # the robust-hash band (speech/music core)
+
+
+def fingerprint_np(pcm, sr_hz: int):
+    """Per-clip robust-hash token sequence (Haitsma-Kalker style).
+
+    Frame the clip (64 ms frames, 50% hop), take the float64 power
+    spectrum per frame, sum it into ``FP_BANDS`` log-spaced bands over
+    300-2000 Hz (band energy spec: PREFIX-SUM DIFFERENCES of the power
+    spectrum — both this kernel and the independent golden implement that
+    exact accumulation so tokens are bit-identical), then bit ``b`` of
+    token ``t`` is the sign of the time-frequency second difference
+    ``(E[t,b]-E[t,b+1]) - (E[t-1,b]-E[t-1,b+1])``.
+
+    Signs of positively-scaled quantities are GAIN-INVARIANT (a volume
+    change multiplies every energy by g^2>0), and the double difference
+    is robust to the broadband perturbation a lossy re-encode adds — the
+    properties that make this the audio analog of the image near-dup
+    pixel embedding. Returns int32 tokens, length max(0, n_frames-1)
+    (each token needs its predecessor frame).
+
+    Reference parity: the reference has no audio ops at all; this is the
+    training-data dedup family (SURVEY.md section 8) applied to the audio
+    payload axis.
+    """
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.float64)
+    frame = int(round(sr_hz * FP_FRAME_SEC))
+    hop = frame // 2
+    if frame <= 0 or hop <= 0 or x.size < frame + hop:  # need >= 2 frames
+        return np.zeros(0, dtype=np.int32)
+    n_frames = 1 + (x.size - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    mag2 = np.abs(np.fft.rfft(x[idx], axis=1)) ** 2
+    freqs = np.fft.rfftfreq(frame, d=1.0 / sr_hz)
+    edges = np.geomspace(FP_F_LO, FP_F_HI, FP_BANDS + 1)
+    band_idx = np.searchsorted(freqs, edges)
+    cs = np.concatenate(
+        [np.zeros((n_frames, 1)), np.cumsum(mag2, axis=1)], axis=1
+    )
+    energy = cs[:, band_idx[1:]] - cs[:, band_idx[:-1]]  # (n_frames, FP_BANDS)
+    d = energy[:, :-1] - energy[:, 1:]  # adjacent-band differences
+    dd = d[1:] - d[:-1]  # time second difference: (n_frames-1, 16)
+    bits = (dd > 0).astype(np.int64)
+    weights = 1 << np.arange(bits.shape[1], dtype=np.int64)
+    return (bits * weights).sum(axis=1).astype(np.int32)
+
+
+def with_fingerprints(
+    df, bytes_col: str = "bytes", codec_col: str = "codec", sr_col: str = "sr_hz"
+):
+    """Decode + fingerprint in ONE mapInArrow pass: appends ``fp``
+    (array<int> of 16-bit frame tokens) and ``n_tokens``; drops the
+    payload column in the same pass (shuffle-weight hygiene, same
+    contract as with_spectral_metrics). Decode failure or a clip too
+    short to frame => NULL fp (F1/make_valid semantics)."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    from dataflow_geobeam_spark.functions.decode import _binary_views
+
+    keep = [f for f in df.schema.fields if f.name != bytes_col]
+    out_schema = StructType(
+        keep
+        + [
+            StructField("fp", ArrayType(IntegerType())),
+            StructField("n_tokens", IntegerType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from dataflow_geobeam_spark import codecs
+
+        for batch in batches:
+            names = batch.schema.names
+            bufs = _binary_views(batch.column(names.index(bytes_col)))
+            codec_vals = batch.column(names.index(codec_col)).to_pylist()
+            sr_vals = batch.column(names.index(sr_col)).to_pylist()
+            fps, n_toks = [], []
+            for buf, c, sr in zip(bufs, codec_vals, sr_vals):
+                try:
+                    pcm, _sr = codecs.decode(buf, c)
+                    toks = fingerprint_np(pcm, sr or _sr)
+                    if toks.size == 0:
+                        fps.append(None), n_toks.append(None)
+                    else:
+                        fps.append(toks.tolist()), n_toks.append(toks.size)
+                except Exception:  # noqa: BLE001 - decode failure => nulls
+                    fps.append(None), n_toks.append(None)
+            arrays = [batch.column(names.index(n)) for n in keep_names]
+            arrays += [
+                pa.array(fps, type=pa.list_(pa.int32())),
+                pa.array(n_toks, type=pa.int32()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=keep_names + ["fp", "n_tokens"])
+
+    return df.mapInArrow(fn, out_schema)

@@ -263,3 +263,35 @@ def audio_codec_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_rms",
         )
     )
+
+
+def audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate dedup (round 5) — the audio member of the
+    dedup family: spectral fingerprints (decode + FFT + robust hash in
+    ONE mapInArrow pass), Hamming-LSH candidate join on (position,
+    token) sub-keys, exact bit-error-rate verify in pure Catalyst.
+    Catches volume-shifted, lossily re-encoded, and low-noise copies of
+    clips that exact payload hashing misses — crawl-dedup for audio
+    training corpora.
+
+    Oracle: generation-time golden_audio_near_dups.parquet — ALL-pairs
+    BER over INDEPENDENT fingerprints of independently decoded payloads
+    (fixtures/generate.ensure_golden_audio_near_dups), so candidate
+    recall of the banded join is exercised against an exhaustive mirror.
+
+    100 TB shape: fingerprints are ~100 ints per clip (payload dropped in
+    the decode pass); the join shuffles (position, token) keys with a
+    count-window hot-key cap; verify touches candidate pairs only.
+    """
+    from dataflow_geobeam_spark.fixtures.generate import ensure_audio_dupes
+    from dataflow_geobeam_spark.functions.audio import with_fingerprints
+    from dataflow_geobeam_spark.operators.dedup import audio_near_dup_pairs
+
+    df = spark.read.parquet(ensure_audio_dupes(sf_dir)).select(
+        "clip_id", "bytes", "codec", "sr_hz"
+    )
+    # the fingerprint pass is a COMPUTED input referenced three times
+    # (candidates + both verify sides): localCheckpoint like
+    # image_near_dups, so decode+FFT runs once, not three times
+    fp = with_fingerprints(df).localCheckpoint(eager=True)
+    return audio_near_dup_pairs(fp, "clip_id", "fp", max_ber=0.10)

@@ -464,3 +464,91 @@ def test_audio_stream_tumbling_sink_equals_batch_flagship(spark, sf_dir, fixture
     got = {tuple(r) for r in audio_stream_tumbling_sink(spark, sf_dir).collect()}
     want = {tuple(r) for r in audio_window_tumbling(spark, sf_dir).collect()}
     assert got == want and len(got) > 100
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint near-dup dedup (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_fingerprint_engine_matches_independent_and_gain_invariant():
+    import numpy as np
+
+    from dataflow_geobeam_spark.audio_synth import synth_pcm
+    from dataflow_geobeam_spark.fixtures import independent as ind
+    from dataflow_geobeam_spark.functions.audio import fingerprint_np
+
+    for i, sr, dur in [(1, 8000, 900), (2, 16000, 1500), (3, 44100, 2500), (5, 22050, 400)]:
+        pcm = synth_pcm(i, sr, dur)
+        eng = fingerprint_np(pcm, sr).tolist()
+        assert eng == ind.audio_fingerprint(pcm, sr)
+        assert len(eng) > 0 and all(0 <= t < 65536 for t in eng)
+        # positive gain never flips a bit (signs of scaled energies)
+        assert fingerprint_np(0.37 * pcm, sr).tolist() == eng
+    # too-short clip: no full frame pair => empty
+    assert fingerprint_np(synth_pcm(9, 8000, 60), 8000).size == 0
+
+
+def test_fingerprint_robust_to_lossy_reencode():
+    import numpy as np
+
+    from dataflow_geobeam_spark.audio_synth import synth_pcm
+    from dataflow_geobeam_spark.fixtures import independent as ind
+    from dataflow_geobeam_spark.functions.audio import fingerprint_np
+
+    pcm = synth_pcm(7, 16000, 1800)
+    base = fingerprint_np(ind.decode(ind.encode(pcm, 16000, "wav"), "wav")[0], 16000)
+    re6 = fingerprint_np(
+        ind.decode(ind.encode(0.6 * pcm, 16000, "mp3"), "mp3")[0], 16000
+    )
+    assert base.size == re6.size
+    ber = sum(bin(int(x) ^ int(y)).count("1") for x, y in zip(base, re6)) / (
+        16 * base.size
+    )
+    assert ber < 0.05  # 6-bit-drop re-encode + gain: way inside the 0.10 gate
+    # distinct clips of the same length sit near BER 0.5
+    other = fingerprint_np(synth_pcm(8, 16000, 1800), 16000)
+    ber2 = sum(bin(int(x) ^ int(y)).count("1") for x, y in zip(base, other)) / (
+        16 * base.size
+    )
+    assert ber2 > 0.3
+
+
+def test_audio_near_dup_pairs_end_to_end(spark):
+    """Driver-query-shaped run on the planted corpus: golden equality is
+    the gate's job; here pin the operator contract — planted dupes found,
+    the 20 dB near-miss rejected by BER, truncated payloads dropped, and
+    the plan has no cartesian."""
+    import pyarrow.parquet as pq
+
+    from dataflow_geobeam_spark.fixtures.generate import (
+        ensure_audio_dupes,
+        ensure_golden_audio_near_dups,
+    )
+    from dataflow_geobeam_spark.functions.audio import with_fingerprints
+    from dataflow_geobeam_spark.operators.dedup import audio_near_dup_pairs
+
+    sf_dir = "/root/testdata/sf0.001"
+    golden = {
+        (a, b): r
+        for a, b, r in zip(
+            *(pq.read_table(ensure_golden_audio_near_dups(sf_dir)).to_pydict().values())
+        )
+    }
+    df = spark.read.parquet(ensure_audio_dupes(sf_dir)).select(
+        "clip_id", "bytes", "codec", "sr_hz"
+    )
+    fp = with_fingerprints(df).localCheckpoint(eager=True)
+    result = audio_near_dup_pairs(fp, "clip_id", "fp", max_ber=0.10)
+    got = {(r.id_a, r.id_b): r.ber for r in result.collect()}
+    assert got == golden and len(got) > 0
+    # the gain dupe of clip 2 (i=3) is an exact-fingerprint pair (BER 0)
+    assert got.get(("ad000002", "ad000003")) == 0.0
+    # i=9 is the 20 dB near-miss of i=8: must NOT appear
+    assert ("ad000008", "ad000009") not in got
+    # truncated payloads (i%17==11) never appear on either side
+    assert not any("ad000011" in p for p in got)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # fp is checkpointed: decode runs once, no MapInArrow left in the plan
+    assert "MapInArrow" not in plan

@@ -44,6 +44,15 @@ import os
 import sys
 import time
 
+# Pin BLAS to one thread BEFORE numpy loads, here in the driver and (via env
+# inheritance through the JVM + daemon_preload's setdefault) in every Python
+# worker. Unpinned, OpenBLAS spawns an nproc-wide pool per worker: local[2]
+# silently uses the whole machine for the assign/score matmuls — the 0.58
+# "efficiency" first recorded here was that artifact, not a plan property —
+# and the thread thrash is itself a measured 3x slowdown on this host.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ[_v] = "1"
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
