@@ -989,9 +989,17 @@ def ivfpq_probe_prune(
     top-``refine`` under the downstream window's exact total order
     (approx_cos desc, neighbor_id asc).
 
-    Emits (query_id, neighbor_id, approx_cos): ≤ n_queries × refine rows
-    per partition. The query side must be broadcast-sized — the standing
-    ``ivfpq_topk`` contract (it is collected for the LUT build anyway).
+    Emits (query_id, neighbor_id, approx_cos, cosine): ≤ n_queries ×
+    refine rows per partition, where ``cosine`` is the EXACT cosine
+    (round 5b): the kernel holds each batch's full vectors anyway, so
+    exact-scoring the batch's candidates in place (fold-ordered cumsum
+    products — bit-identical to the Catalyst ``cosine_expr`` +
+    ``round(…, 6)`` it replaces) costs one vectorized pass and removes
+    the entire downstream re-rank machinery: no second corpus scan, no
+    driver-built shortlist broadcast — the non-scaling ~4 s tail the
+    N→4N bench exposed. The query side must be broadcast-sized — the
+    standing ``ivfpq_topk`` contract (it is collected for the LUT build
+    anyway).
     """
     import pyarrow.compute as pc
 
@@ -1000,6 +1008,9 @@ def ivfpq_probe_prune(
         raise ValueError(f"books shape {books.shape} does not tile dim={dim}")
     cents = _centroids(dim, n_cells, seed)
     offsets, probe_qidx = _probe_csr(Q, cents, n_cells, n_probe)
+    Q64 = np.ascontiguousarray(Q, dtype=np.float64)
+    # fold-ordered query norms (cumsum, like cosine_expr's aggregate)
+    q_norm_fold = np.sqrt(np.cumsum(Q64 * Q64, axis=1)[:, -1]) if Q64.size else np.zeros(0)
     id_field = corpus.schema[id_col].dataType
     in_df = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
     out_schema = sqltypes.StructType(
@@ -1007,6 +1018,7 @@ def ivfpq_probe_prune(
             sqltypes.StructField("query_id", id_field, False),
             sqltypes.StructField("neighbor_id", id_field, False),
             sqltypes.StructField("approx_cos", sqltypes.DoubleType(), False),
+            sqltypes.StructField("cosine", sqltypes.DoubleType(), False),
         ]
     )
     s_idx = np.arange(m_sub)
@@ -1071,12 +1083,32 @@ def ivfpq_probe_prune(
             nrm = lut_nrm[s_idx[None, :], crep].cumsum(axis=1)[:, -1]
             cos = dot / (q_norm[qi] * np.sqrt(nrm))
             cos = np.floor(cos * 1e6 + 0.5) / 1e6  # Spark round(x, 6) HALF_UP
+            # exact cosine for the batch's candidates, in place: the full
+            # vectors are in hand, and a column-wise left-to-right fold is
+            # bit-identical to cosine_expr's aggregate + round(…, 6).
+            # Implementation notes that matter on this host: (a) NEVER
+            # np.cumsum(axis=1) for fold sums — its per-row accumulate
+            # overhead is ~100x a column loop; (b) keep work arrays
+            # batch-sized so allocations recycle from the pool (fresh
+            # multi-MB allocations hit host paging-wave stalls); (c)
+            # corpus-row norms fold once per ROW, not per candidate.
+            nrow = np.zeros(n)
+            for d in range(dim):
+                nrow = nrow + v[:, d] * v[:, d]
+            vr = v[row_rep]
+            qv = Q64[qi]
+            dot_e = np.zeros(row_rep.size)
+            for d in range(dim):
+                dot_e = dot_e + vr[:, d] * qv[:, d]
+            cos_e = dot_e / (q_norm_fold[qi] * np.sqrt(nrow[row_rep]))
+            cos_e = np.floor(cos_e * 1e6 + 0.5) / 1e6
             part = pa.table(
                 {
                     "query_id": pa.array(q_ids[qi]).cast(ids_arr.type),
                     "neighbor_id": ids_arr.take(pa.array(row_rep)),
                     "_q_idx": pa.array(qi.astype(np.int32)),
                     "approx_cos": pa.array(cos, type=pa.float64()),
+                    "cosine": pa.array(cos_e, type=pa.float64()),
                 }
             )
             buf = part if buf is None else _prune(pa.concat_tables([buf, part]))
@@ -1106,23 +1138,23 @@ def ivfpq_topk(
     exact refine — the memory-bounded ANN path for corpora whose full
     vectors don't fit the scoring tier.
 
-    Plan shape (round 5 — zero corpus shuffles): a driver-side k-means
-    fit on a bounded deterministic sample trains the codebooks (the
-    index-build step); ONE fused mapInArrow scan emits (cell, codes) per
-    corpus row (``ivfpq_index``); queries probe n_probe cells
-    (broadcast); candidate generation, ADC lookup-table scoring, and the
-    map-side partial top-``refine`` all run inside that same stage
-    (``pq_adc_score_prune_col`` — the query-side LUTs are built ONCE on
-    the driver and closure-ship; scoring a candidate touches ``m_sub``
-    table entries, so neither the full vectors nor any reconstructed
-    ``dim``-float vector ever materializes past the encode pass); only
-    ≤ partitions×queries×refine shortlist rows cross the one (tiny)
-    window exchange; the global top-``refine`` shortlist then broadcasts
-    into a second map-only corpus scan for exact cosine re-ranking;
-    output top-k by exact score. Recall ~= ivf_topk's when ``refine``
-    comfortably exceeds k (the PQ approximation only has to keep true
-    neighbors inside the refine set; measured 0.70 vs 0.32 with
-    untrained codebooks at the test config).
+    Plan shape (round 5 — ONE corpus scan, zero joins): a driver-side
+    k-means fit on a bounded deterministic sample trains the codebooks
+    (the index-build step); then a single fused mapInArrow scan does
+    EVERYTHING per-row — cell assign, PQ encode, probe expansion (from a
+    closure-shipped CSR), ADC lookup-table scoring, exact cosine for the
+    batch's candidates (the vectors are in hand — round 5b), and a
+    per-partition partial top-``refine``; only ≤ partitions×queries×
+    refine rows of 4 scalar columns reach the one exchange, where two
+    sorts ride the same partitioning: the approx-order cut reproduces
+    global-top-``refine``-by-ADC-score exactly, the exact-order rank
+    emits top-k. No second corpus scan, no shortlist broadcast, no
+    driver-side re-rank — the N→4N non-scaling tail measured at the
+    800k-vector bench came from exactly that machinery. Recall ~=
+    ivf_topk's when ``refine`` comfortably exceeds k (the PQ
+    approximation only has to keep true neighbors inside the refine
+    set; measured 0.70 vs 0.32 with untrained codebooks at the test
+    config).
 
     The query side must be broadcast-sized (it already broadcasts into
     every cell probe): it is collected once on the driver to build the
@@ -1148,23 +1180,19 @@ def ivfpq_topk(
         corpus, id_col, vec_col, dim, n_cells, n_probe,
         books, Q, q_ids, lut_dot, lut_nrm, q_norm, refine, seed,
     )
-    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    # the kernel exact-scores candidates in place (round 5b), so the whole
+    # tail is ONE exchange on query_id with two sorts riding it: the
+    # approx-order cut reproduces "global top-``refine`` by ADC score"
+    # exactly (per-partition top-refine is a superset of the global one),
+    # then the exact-order rank picks top-k — no joins, no second corpus
+    # scan, no driver-built broadcast. ≤ partitions×queries×refine rows of
+    # 4 columns ever leave the map stage.
     w_a = Window.partitionBy("query_id").orderBy(F.desc("approx_cos"), F.asc("neighbor_id"))
-    shortlist = (
+    w_e = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
         scored.withColumn("_r", F.row_number().over(w_a))
         .where(F.col("_r") <= refine)
-        .select("query_id", "neighbor_id")
-    )
-    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    # broadcast the (≤ queries×refine row) shortlist so the exact re-rank
-    # is a second map-only corpus scan — the corpus is never re-shuffled
-    refined = c_vecs.join(F.broadcast(shortlist), "neighbor_id").join(
-        F.broadcast(q_vecs), "query_id"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        refined.withColumn("cosine", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w_e))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
