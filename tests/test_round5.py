@@ -552,3 +552,106 @@ def test_audio_near_dup_pairs_end_to_end(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # fp is checkpointed: decode runs once, no MapInArrow left in the plan
     assert "MapInArrow" not in plan
+
+
+def test_audio_near_dup_stream_vs_corpus(spark, tmp_path):
+    """An incoming clip stream is deduped against a static fingerprint
+    index of the planted-dupe corpus: a gain-shifted copy and a lossy
+    re-encode of corpus clips are flagged with the right partner and a
+    sub-gate BER; a novel clip is not. The streaming result must equal
+    the batch all-pairs golden restricted to (stream x corpus) pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as apq
+
+    from dataflow_geobeam_spark.audio_synth import synth_pcm
+    from dataflow_geobeam_spark.fixtures import independent as ind
+    from dataflow_geobeam_spark.fixtures.generate import ensure_audio_dupes
+    from dataflow_geobeam_spark.functions.audio import with_fingerprints
+    from dataflow_geobeam_spark.operators.dedup import audio_near_dup_pairs
+    from dataflow_geobeam_spark.streaming.extras import (
+        audio_fingerprint_index,
+        audio_near_dup_stream_vs_corpus,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    corpus = spark.read.parquet(ensure_audio_dupes(sf_dir)).select(
+        "clip_id", "bytes", "codec", "sr_hz"
+    )
+    # stream: a gain copy of clip 0, an mp3 re-encode of clip 1, a novel clip
+    c = apq.read_table(ensure_audio_dupes(sf_dir)).to_pydict()
+    by_id = dict(zip(c["clip_id"], zip(c["bytes"], c["codec"], c["sr_hz"])))
+    b0, codec0, sr0 = by_id["ad000000"]
+    pcm0, _ = ind.decode(b0, codec0)
+    b1, codec1, sr1 = by_id["ad000001"]
+    pcm1, _ = ind.decode(b1, codec1)
+    stream_rows = {
+        "clip_id": ["st000001", "st000002", "st000003"],
+        "bytes": [
+            ind.encode(np.clip(0.5 * pcm0, -1, 1).astype(np.float32), sr0, codec0),
+            ind.encode(pcm1, sr1, "mp3" if codec1 != "mp3" else "wav"),
+            ind.encode(synth_pcm(8_500_000, 16000, 1234), 16000, "wav"),
+        ],
+        "codec": [codec0, "mp3" if codec1 != "mp3" else "wav", "wav"],
+        "sr_hz": [sr0, sr1, 16000],
+    }
+    stream_dir = tmp_path / "clips_stream"
+    stream_dir.mkdir()
+    apq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array(stream_rows["clip_id"]),
+                "bytes": pa.array(stream_rows["bytes"], type=pa.binary()),
+                "codec": pa.array(stream_rows["codec"]),
+                "sr_hz": pa.array(stream_rows["sr_hz"], type=pa.int32()),
+            }
+        ),
+        str(stream_dir / "part-0.parquet"),
+    )
+    idx = audio_fingerprint_index(corpus)
+    idx = (idx[0].persist(), idx[1].persist())
+    stream = spark.readStream.schema("clip_id string, bytes binary, codec string, sr_hz int").parquet(
+        str(stream_dir)
+    )
+    out = audio_near_dup_stream_vs_corpus(stream, idx)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("audio_neardup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.stream_id, r.corpus_id): r.ber
+        for r in spark.sql("select * from audio_neardup_stream_test").collect()
+    }
+    assert got.get(("st000001", "ad000000")) is not None  # gain copy found
+    assert got[("st000001", "ad000000")] <= 0.02
+    assert got.get(("st000002", "ad000001")) is not None  # re-encode found
+    assert got[("st000002", "ad000001")] <= 0.05
+    assert not any(sid == "st000003" for sid, _ in got)  # novel clip clean
+
+    # batch oracle: the batch operator over corpus+stream, restricted to
+    # (stream x corpus) pairs, must agree pair-for-pair
+    both = corpus.unionByName(
+        spark.createDataFrame(
+            list(
+                zip(
+                    stream_rows["clip_id"],
+                    stream_rows["bytes"],
+                    stream_rows["codec"],
+                    stream_rows["sr_hz"],
+                )
+            ),
+            "clip_id string, bytes binary, codec string, sr_hz int",
+        )
+    )
+    fp = with_fingerprints(both).localCheckpoint(eager=True)
+    batch = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b)): r.ber
+        for r in audio_near_dup_pairs(fp, "clip_id", "fp", max_ber=0.10).collect()
+        if (r.id_a.startswith("st")) != (r.id_b.startswith("st"))
+    }
+    assert got == batch
+    idx[0].unpersist(), idx[1].unpersist()

@@ -250,7 +250,7 @@ def rewrite_baseline_md(out: dict) -> None:
 
 `ivfpq_topk` (IVF cells + PQ codes + ADC LUT candidate scoring + exact
 refine) over {out["n_vectors"]:,} vectors (sf0.1 embeddings x{REPLICATE},
-seeded 0.05-sigma per-replica perturbation), {N_QUERIES} queries timed
+seeded {SIGMA}-sigma per-replica perturbation), {N_QUERIES} queries timed
 (recall measured on {N_RECALL_QUERIES}),
 n_cells={N_CELLS}, n_probe={N_PROBE} (tools/bench_ann_scaling.py; levels
 local[2] vs local[8] for the same reason as the dedup bench — both sit
@@ -260,11 +260,13 @@ inside this host's ~8 real cores):
 |---|---|---|---|---|
 | {out["n_vectors"]:,} vectors | {sc["best_2"]} s ({sc["vecs_per_sec_2"]:,.0f} vec/s) | {sc["best_8"]} s ({sc["vecs_per_sec_8"]:,.0f} vec/s) | {sc["speedup"]}x | **{sc["efficiency"]:.2f}** |
 
-All timed runs: local[2] {sc["times_2"]}, local[8] {sc["times_8"]} (sec),
-interleaved min-of-{len(sc["times_2"])}, each round gated on a single-proc
-numpy quietness probe (this Firecracker host oversubscribes in waves that
-guest steal accounting cannot see — fixed-work wall time is the only
-usable signal).
+Clean timed runs: local[2] {sc["times_2"]}, local[8] {sc["times_8"]} (sec),
+interleaved, min over samples BRACKETED by quiet single-proc numpy probes
+(pre-run gate + post-run check — this Firecracker host oversubscribes in
+minutes-long waves that guest steal accounting cannot see and that can
+start mid-run; a sample whose post-run probe is loud is discarded as
+wave-contaminated). Raw samples incl. discarded ones are in
+BENCH/ann_scaling.json.
 
 Quality and plan accounting at this scale:
 
@@ -289,13 +291,32 @@ def main() -> None:
     print(f"corpus: {corpus_path} ({n:,} vectors)", flush=True)
     quality = recall_and_candidates(corpus_path)
     print("quality:", quality, flush=True)
-    # interleave the two sizes to decorrelate host steal
+    # Interleave the two sizes to decorrelate host steal, and BRACKET each
+    # timed run with probes: the pre-run gate cannot see a wave that
+    # starts mid-run (a ~50 s local[2] run is long exposure; one 4-round
+    # attempt recorded a 121 s sample this way), but the wave is still
+    # active at run end, so a post-run probe catches it. Only samples with
+    # quiet probes on BOTH sides count toward the min; loud ones are kept
+    # in the raw record, flagged.
     t2, t8 = [], []
-    for _ in range(4):
-        wait_for_quiet()
-        t2 += run_at(2, corpus_path, timed_runs=1)
-        wait_for_quiet()
-        t8 += run_at(8, corpus_path, timed_runs=1)
+    raw2, raw8 = [], []
+    attempts = 0
+    while (len(t2) < 3 or len(t8) < 3) and attempts < 10:
+        attempts += 1
+        for cpus, clean_l, raw_l in ((2, t2, raw2), (8, t8, raw8)):
+            wait_for_quiet()
+            s = run_at(cpus, corpus_path, timed_runs=1)[0]
+            post = cpu_probe()
+            clean = post <= _PROBE_BEST[0] * 1.5
+            raw_l.append({"sec": s, "clean": clean})
+            if clean:
+                clean_l.append(s)
+            else:
+                print(f"local[{cpus}] sample {s}s DISCARDED (post-probe {post:.2f}s)", flush=True)
+    if not t2:
+        t2 = [r["sec"] for r in raw2]
+    if not t8:
+        t8 = [r["sec"] for r in raw8]
     best2, best8 = min(t2), min(t8)
     out = {
         "n_vectors": n,
@@ -304,6 +325,8 @@ def main() -> None:
             "best_8": best8,
             "times_2": t2,
             "times_8": t8,
+            "raw_2": raw2,
+            "raw_8": raw8,
             "vecs_per_sec_2": round(n / best2, 1),
             "vecs_per_sec_8": round(n / best8, 1),
             "speedup": round(best2 / best8, 2),

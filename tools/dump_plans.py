@@ -43,14 +43,15 @@ ANNOTATED = {
         "no CartesianProduct/BroadcastNestedLoopJoin anywhere."
     ),
     "emb_topk_ivfpq": (
-        "IVF-PQ ANN (round 5: fused candidate phase). Expect: the WHOLE "
-        "candidate phase — cell assign, PQ encode, probe join (executed "
+        "IVF-PQ ANN (round 5: ONE corpus scan, zero joins). Expect: the "
+        "WHOLE query — cell assign, PQ encode, probe join (executed "
         "inside the kernel from a closure-shipped CSR), ADC LUT scoring, "
-        "map-side partial top-refine — as ONE MapInArrow scan of the "
-        "corpus; only ≤ partitions×queries×refine shortlist rows reach "
-        "the window exchange; the global shortlist then BROADCASTS into "
-        "a second map-only corpus scan for exact re-rank. Zero corpus "
-        "shuffles, no cartesian, no BroadcastNestedLoopJoin."
+        "in-kernel EXACT cosine of the batch's candidates, map-side "
+        "partial top-refine — as ONE MapInArrow scan; only ≤ partitions×"
+        "queries×refine rows of 4 scalar columns reach the single "
+        "exchange, where two sorts (approx-order refine cut, exact-order "
+        "rank) ride the same partitioning. No joins at all, no second "
+        "scan, no broadcast, no cartesian."
     ),
     "emb_near_dups_d256": (
         "dim-256 near-dup (round 3). Expect: the near_dup_pairs shape at "
