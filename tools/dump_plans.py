@@ -37,6 +37,15 @@ ANNOTATED = {
         "Top-k. Expect: TakeOrderedAndProject (per-partition top-k, k-row "
         "driver merge) — NOT a single-partition Window sort (round-1 defect)."
     ),
+    "audio_near_dups": (
+        "Audio fingerprint near-dup (round 5). Expect: ONE decode+FFT+hash "
+        "MapInArrow pass materialized by localCheckpoint (3 consumers: "
+        "candidates + both verify sides — plan shows LogicalRDD, not three "
+        "decode passes); (pos, tok) sub-key self-join with a count-window "
+        "hot-key cap riding the exchange; BER verify is pure Catalyst "
+        "(zip_with + bit_count + aggregate) on candidate pairs only; no "
+        "CartesianProduct, no BroadcastNestedLoopJoin."
+    ),
     "emb_topk_ivf": (
         "IVF ANN (round 3, driver-gated). Expect: exactly 2 MapInArrow cell-"
         "assign passes (corpus + broadcast queries), shuffle keyed by cell, "
