@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": relational.events_tumbling,
         "events_sessions": relational.events_sessions,
         "events_approx_users": relational.events_approx_users,
+        "events_pattern_contiguous": relational.events_pattern_contiguous,
+        "events_funnel": relational.events_funnel,
         "top_customers": relational.top_customers_by_revenue,
         "order_percentiles": relational.order_price_percentiles,
         # --- training-data ops: text analysis ---
@@ -603,6 +605,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
                    TRUE AS approx_within_tol
             FROM events GROUP BY event_type
+        """,
+        "events_pattern_contiguous": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, event_type,
+                     lead(event_type, 1) OVER w AS ty1, lead(ts, 1) OVER w AS ts1,
+                     lead(event_type, 2) OVER w AS ty2, lead(ts, 2) OVER w AS ts2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, event_id AS anchor_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS t0_s,
+                   CAST(floor(epoch(ts1)) AS BIGINT) AS t1_s,
+                   CAST(floor(epoch(ts2)) AS BIGINT) AS t2_s,
+                   CAST(floor(epoch(ts2)) AS BIGINT)
+                     - CAST(floor(epoch(ts)) AS BIGINT) AS span_s
+            FROM o
+            WHERE event_type = 'view' AND ty1 = 'click' AND ty2 = 'purchase'
+              AND ts2 <= ts + INTERVAL 604800 SECOND
+        """,
+        "events_funnel": """
+            WITH anchors AS (
+              SELECT user_id, event_id AS anchor_id, ts AS ts0
+              FROM events WHERE event_type = 'signup'
+            ),
+            s1 AS (
+              SELECT a.*, (SELECT min(e.ts) FROM events e
+                           WHERE e.user_id = a.user_id AND e.event_type = 'view'
+                             AND e.ts > a.ts0) AS ts1
+              FROM anchors a
+            ),
+            s2 AS (
+              SELECT s1.*, (SELECT min(e.ts) FROM events e
+                            WHERE e.user_id = s1.user_id AND e.event_type = 'purchase'
+                              AND e.ts > s1.ts1) AS ts2
+              FROM s1 WHERE ts1 IS NOT NULL
+            )
+            SELECT user_id, anchor_id,
+                   CAST(floor(epoch(ts0)) AS BIGINT) AS t0_s,
+                   CAST(floor(epoch(ts1)) AS BIGINT) AS t1_s,
+                   CAST(floor(epoch(ts2)) AS BIGINT) AS t2_s,
+                   CAST(floor(epoch(ts2)) AS BIGINT)
+                     - CAST(floor(epoch(ts0)) AS BIGINT) AS span_s
+            FROM s2
+            WHERE ts2 IS NOT NULL AND ts2 <= ts0 + INTERVAL 86400 SECOND
         """,
         "emb_near_dups": f"""
             SELECT id_a, id_b, cosine

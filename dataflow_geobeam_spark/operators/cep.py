@@ -1,0 +1,167 @@
+"""Complex-event-processing (CEP) pattern matching over keyed event
+streams — the sequence-detection tier of the north rule's
+"structured-streaming / CEP engine".
+
+Two declarative match semantics, both with exact ANSI-SQL equivalents so
+the driver gate hash-checks them against DuckDB (no goldens needed):
+
+* ``match_contiguous`` — MATCH_RECOGNIZE's simplest PATTERN (A B C ...)
+  over CONSECUTIVE events per key (no gaps), bounded by a time window.
+  Compiles to lead() window expressions: ONE shuffle on the key, one
+  sort, zero joins — the same plan shape as a session window, so it
+  scales exactly as far.
+* ``match_funnel`` — "skip-till-next-match": for every anchor event
+  (first pattern step), greedily take the EARLIEST later event of each
+  subsequent step, bounded by a time window. Overlapping matches are
+  allowed (one attempt per anchor), the standard product-analytics
+  funnel semantics. Compiles to per-key sorted step arrays + array
+  binary pruning (F.filter/F.get) — one groupBy shuffle + one
+  co-partitioned join, zero per-row Python.
+
+Both order events by (ts, event_id) — the total order the SQL oracle
+uses — and do window arithmetic on raw microsecond timestamps (truncated
+epoch seconds only appear in the OUTPUT columns, computed identically by
+both engines).
+
+Scale notes (100 TB): contiguous is window-function-shaped — partial
+nothing, one exchange on the key, sort, lead; skew on the key falls to
+the same salting machinery as any keyed window. Funnel materializes
+per-key per-step timestamp arrays: bounded per-key event cardinality is
+the standing assumption of per-user funnel analytics (same bound the
+session-window state store needs); keys above the bound should be
+pre-capped like the dedup hot buckets.
+
+The streaming form (watermark-correct contiguous matching with
+late-data buffering) is ``streaming/cep.py:match_contiguous_stream``.
+
+Reference parity: the reference engine (Beam ingestion glue) has no CEP
+surface at all; this is north-rule scope (``BASELINE.json: north_star``,
+"structured-streaming/CEP engine").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataflow_geobeam_spark.util import epoch_seconds
+
+
+def _interval_seconds(n: int) -> Column:
+    return F.make_interval(secs=F.lit(int(n)))
+
+
+def match_contiguous(
+    df: DataFrame,
+    pattern: list[str],
+    within_s: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Match ``pattern`` over CONSECUTIVE events per key, with the whole
+    run inside ``within_s`` seconds.
+
+    Output: (key, anchor_id, t0_s .. t{k-1}_s, span_s) — one row per
+    anchor position whose next k-1 events (in (ts, id) order) carry
+    exactly the remaining pattern types and whose last timestamp is
+    within the window. Epoch-second columns truncate like DuckDB's
+    ``floor(epoch(ts))``; the window bound compares raw timestamps.
+    """
+    if len(pattern) < 2:
+        raise ValueError("pattern needs at least 2 steps")
+    k = len(pattern)
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    out = df.select(key_col, ts_col, type_col, id_col)
+    for i in range(1, k):
+        out = out.withColumn(f"_ty{i}", F.lead(type_col, i).over(w)).withColumn(
+            f"_ts{i}", F.lead(ts_col, i).over(w)
+        )
+    cond = F.col(type_col) == pattern[0]
+    for i in range(1, k):
+        cond = cond & (F.col(f"_ty{i}") == pattern[i])
+    cond = cond & (
+        F.col(f"_ts{k - 1}") <= F.col(ts_col) + _interval_seconds(within_s)
+    )
+    ts_cols = [epoch_seconds(F.col(ts_col)).alias("t0_s")] + [
+        epoch_seconds(F.col(f"_ts{i}")).alias(f"t{i}_s") for i in range(1, k)
+    ]
+    return out.where(cond).select(
+        F.col(key_col),
+        F.col(id_col).alias("anchor_id"),
+        *ts_cols,
+        (epoch_seconds(F.col(f"_ts{k - 1}")) - epoch_seconds(F.col(ts_col))).alias(
+            "span_s"
+        ),
+    )
+
+
+def match_funnel(
+    df: DataFrame,
+    pattern: list[str],
+    within_s: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Skip-till-next-match funnel: for every ``pattern[0]`` event, take
+    the EARLIEST strictly-later ``pattern[1]`` event, then the earliest
+    strictly-later ``pattern[2]``, …; keep matches whose final step is
+    within ``within_s`` seconds of the anchor.
+
+    Output: (key, anchor_id, t0_s .. t{k-1}_s, span_s). Strictly-later
+    means raw-timestamp ``>`` (ties at identical microseconds are not
+    taken — the SQL oracle's ``e2.ts > e1.ts`` contract).
+    """
+    if len(pattern) < 2:
+        raise ValueError("pattern needs at least 2 steps")
+    k = len(pattern)
+    steps = pattern[1:]
+    arrs = df.groupBy(key_col).agg(
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col(type_col) == p, F.col(ts_col)))
+            ).alias(f"_a{i}")
+            for i, p in enumerate(steps, start=1)
+        ]
+    )
+    anchors = df.where(F.col(type_col) == pattern[0]).select(
+        key_col, F.col(id_col).alias("anchor_id"), F.col(ts_col).alias("_ts0")
+    )
+    j = anchors.join(arrs, key_col)
+    prev = F.col("_ts0")
+    for i in range(1, k):
+        # earliest step-i timestamp strictly after the previous pick:
+        # the array is sorted, so the first survivor of the filter is the
+        # minimum; F.get returns NULL on an empty survivor list (never
+        # raises, unlike ANSI element_at)
+        j = j.withColumn(f"_ts{i}", F.get(F.filter(F.col(f"_a{i}"), _after(prev)), 0))
+        prev = F.col(f"_ts{i}")
+    cond = F.col("_ts1").isNotNull()
+    for i in range(2, k):
+        cond = cond & F.col(f"_ts{i}").isNotNull()
+    cond = cond & (
+        F.col(f"_ts{k - 1}") <= F.col("_ts0") + _interval_seconds(within_s)
+    )
+    ts_cols = [epoch_seconds(F.col(f"_ts{i}")).alias(f"t{i}_s") for i in range(k)]
+    return j.where(cond).select(
+        F.col(key_col),
+        "anchor_id",
+        *ts_cols,
+        (epoch_seconds(F.col(f"_ts{k - 1}")) - epoch_seconds(F.col("_ts0"))).alias(
+            "span_s"
+        ),
+    )
+
+
+def _after(prev: Column):
+    """Filter lambda factory: pyspark infers lambda arity from the
+    signature, so the outer column must be bound via a closure, not a
+    default arg."""
+
+    def _f(x: Column) -> Column:
+        return x > prev
+
+    return _f

@@ -255,3 +255,28 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str, k: int = 10) -> D
         topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "c_custkey", "c_name", F.round("revenue", 2).alias("revenue"))
     )
+
+
+def events_pattern_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP contiguous-sequence detection (round 5): view -> click ->
+    purchase as three CONSECUTIVE events per user within 7 days —
+    MATCH_RECOGNIZE's PATTERN (A B C) compiled to lead() windows, one
+    exchange + one sort, zero joins (operators/cep.match_contiguous).
+    Oracle: the identical lead()-window ANSI SQL in DuckDB."""
+    from dataflow_geobeam_spark.operators.cep import match_contiguous
+
+    ev = _t(spark, sf_dir, "events")
+    return match_contiguous(ev, ["view", "click", "purchase"], within_s=7 * 86400)
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP skip-till-next funnel (round 5): for every signup, the
+    earliest later view, then the earliest later purchase, completed
+    within 1 day — per-key sorted step arrays + array pruning
+    (operators/cep.match_funnel), one groupBy + one co-partitioned join.
+    Oracle: correlated min-subqueries in DuckDB (the textbook funnel
+    SQL)."""
+    from dataflow_geobeam_spark.operators.cep import match_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return match_funnel(ev, ["signup", "view", "purchase"], within_s=86400)

@@ -1,0 +1,151 @@
+"""Streaming CEP: watermark-correct contiguous-pattern matching.
+
+``match_contiguous_stream`` is the streaming form of
+``operators/cep.match_contiguous`` (PATTERN (A B C …) over CONSECUTIVE
+events per key, bounded by a time window), built on
+``applyInPandasWithState`` with event-time timeouts — the same stateful
+machinery as the clip<->transcript join (``streaming/join.py``).
+
+Correctness under late data: an anchor's match outcome depends only on
+events with ``ts <= anchor_ts + within`` (later events cannot sit
+between the anchor and its k-1 immediate successors without failing the
+window bound, and events later than that bound fail it themselves). The
+watermark guarantees no event older than it will be admitted, so an
+anchor is FINALIZED — its outcome can never change — exactly when
+``watermark > anchor_ts + within``. The per-key state buffers events
+until finalized, emits matches for finalized anchors, evicts finalized
+events, and schedules an event-time timeout so buffered keys flush when
+the watermark advances without new data. Within those rules the emitted
+set equals the batch operator run over the delivered (non-late) events —
+pinned by ``test_round5.py`` against the oracle-gated batch form.
+
+Input contract: an events stream with ``withWatermark`` already applied
+on the timestamp column; at-least-once duplicate delivery is NOT
+deduplicated here (put a ``dropDuplicatesWithinWatermark`` upstream if
+the source can replay).
+
+Scale: state per key = events inside one ``within`` horizon (the same
+bound a session-window state store carries); each micro-batch touches
+only keys with new rows or expiring timeouts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def _out_schema(k: int) -> StructType:
+    return StructType(
+        [StructField("user_id", LongType(), False), StructField("anchor_id", LongType(), False)]
+        + [StructField(f"t{i}_s", LongType(), False) for i in range(k)]
+        + [StructField("span_s", LongType(), False)]
+    )
+
+
+def _make_fn(pattern: list[str], within_s: int):
+    k = len(pattern)
+    within_us = within_s * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        if state.exists:
+            ts_l, id_l, ty_l = state.get
+            buf = list(zip(ts_l, id_l, ty_l))
+        else:
+            buf = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for row in pdf.itertuples(index=False):
+                    buf.append(
+                        (
+                            int(pd.Timestamp(row.ts).value // 1000),
+                            int(row.event_id),
+                            str(row.event_type),
+                        )
+                    )
+        buf.sort()
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        rows = []
+        keep_from = 0
+        for i, (ts_us, eid, ty) in enumerate(buf):
+            if ts_us + within_us >= wm_us:
+                break  # not finalized yet; later anchors even less so
+            keep_from = i + 1
+            if ty != pattern[0] or i + k - 1 >= len(buf):
+                continue
+            succ = buf[i + 1 : i + k]
+            if all(succ[j - 1][2] == pattern[j] for j in range(1, k)) and succ[-1][
+                0
+            ] <= ts_us + within_us:
+                t_secs = [ts_us // 1_000_000] + [s[0] // 1_000_000 for s in succ]
+                rows.append(
+                    (int(key[0]), eid, *t_secs, t_secs[-1] - t_secs[0])
+                )
+        buf = buf[keep_from:]
+        if buf:
+            state.update(
+                ([b[0] for b in buf], [b[1] for b in buf], [b[2] for b in buf])
+            )
+            # wake this key when its oldest anchor can finalize; clamp
+            # above the current watermark (Spark rejects timeouts behind it)
+            desired_ms = buf[0][0] // 1000 + within_s * 1000 + 1000
+            state.setTimeoutTimestamp(max(desired_ms, wm_ms + 1000))
+        else:
+            state.remove()
+        if rows:
+            cols = ["user_id", "anchor_id"] + [f"t{i}_s" for i in range(k)] + ["span_s"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+def match_contiguous_stream(
+    events: DataFrame,
+    pattern: list[str],
+    within_s: int,
+) -> DataFrame:
+    """Streaming contiguous-pattern matcher. ``events`` must be a
+    watermarked stream with columns (user_id, event_id, ts, event_type).
+    Output rows match the batch operator's schema:
+    (user_id, anchor_id, t0_s .. t{k-1}_s, span_s), emitted once each
+    anchor finalizes under the watermark."""
+    if len(pattern) < 2:
+        raise ValueError("pattern needs at least 2 steps")
+    k = len(pattern)
+    state_schema = StructType(
+        [
+            StructField("ts_us", _long_array(), True),
+            StructField("ids", _long_array(), True),
+            StructField("types", _str_array(), True),
+        ]
+    )
+    return events.select("user_id", "event_id", "ts", "event_type").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _make_fn(list(pattern), within_s),
+        outputStructType=_out_schema(k),
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _long_array():
+    from pyspark.sql.types import ArrayType
+
+    return ArrayType(LongType())
+
+
+def _str_array():
+    from pyspark.sql.types import ArrayType, StringType
+
+    return ArrayType(StringType())

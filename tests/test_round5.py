@@ -655,3 +655,108 @@ def test_audio_near_dup_stream_vs_corpus(spark, tmp_path):
     }
     assert got == batch
     idx[0].unpersist(), idx[1].unpersist()
+
+
+def test_match_contiguous_stream_equals_batch(spark, tmp_path):
+    """Streaming CEP vs the (oracle-gated) batch operator: the events
+    table streamed as 4 time-ordered files with a 1-hour watermark delay
+    must emit exactly the batch matches whose anchors FINALIZE under the
+    final watermark (wm > anchor_ts + within)."""
+    import pyarrow as pa
+    import pyarrow.parquet as apq
+
+    from dataflow_geobeam_spark.operators.cep import match_contiguous
+    from dataflow_geobeam_spark.streaming.cep import match_contiguous_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    pattern, within_s = ["view", "click"], 3 * 86400
+    t = apq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"])
+    idx = pa.compute.sort_indices(t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+    t = t.take(idx)
+    stream_dir = tmp_path / "ev_stream"
+    stream_dir.mkdir()
+    n = t.num_rows
+    per = (n + 3) // 4
+    for f in range(4):
+        apq.write_table(t.slice(f * per, per), str(stream_dir / f"part-{f:04d}.parquet"))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+        .withWatermark("ts", "1 hour")
+    )
+    out = match_contiguous_stream(stream, pattern, within_s)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cep_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        tuple(r) for r in spark.sql("select * from cep_stream_test").collect()
+    }
+
+    # final watermark: max event ts minus the 1h delay (to the second)
+    import datetime as dt
+
+    max_ts = pa.compute.max(t.column("ts")).as_py()
+    wm_s = int((max_ts - dt.timedelta(hours=1)).timestamp())
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = {
+        tuple(r)
+        for r in match_contiguous(ev, pattern, within_s).collect()
+        if r.t0_s + within_s < wm_s
+    }
+    assert got == batch and len(batch) > 0
+
+
+def test_cep_batch_plan_shapes(spark):
+    """match_contiguous must be pure window machinery (one exchange on
+    the key, no joins); match_funnel must be groupBy + one co-partitioned
+    join — neither may cartesian."""
+    from dataflow_geobeam_spark.operators.cep import match_contiguous, match_funnel
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    c = match_contiguous(ev, ["view", "click", "purchase"], 7 * 86400)
+    c.collect()
+    plan_c = c._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan_c  # window-only plan
+    assert "CartesianProduct" not in plan_c
+
+    f = match_funnel(ev, ["signup", "view", "purchase"], 86400)
+    f.collect()
+    plan_f = f._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan_f and "BroadcastNestedLoopJoin" not in plan_f
+
+
+def test_cep_match_semantics(spark):
+    """Hand-built sequences pin the two match semantics: contiguity vs
+    skip-till-next, the strictly-after rule, and the window bound."""
+    import datetime as dt
+
+    from dataflow_geobeam_spark.operators.cep import match_contiguous, match_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: A B C contiguous, inside window
+        (1, 10, t0, "A"), (1, 11, t0 + dt.timedelta(seconds=10), "B"),
+        (1, 12, t0 + dt.timedelta(seconds=20), "C"),
+        # user 2: A x B C — NOT contiguous (x between), but funnel matches
+        (2, 20, t0, "A"), (2, 21, t0 + dt.timedelta(seconds=5), "x"),
+        (2, 22, t0 + dt.timedelta(seconds=10), "B"),
+        (2, 23, t0 + dt.timedelta(seconds=20), "C"),
+        # user 3: A B C contiguous but C outside the 60 s window
+        (3, 30, t0, "A"), (3, 31, t0 + dt.timedelta(seconds=10), "B"),
+        (3, 32, t0 + dt.timedelta(seconds=120), "C"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    c = {(r.user_id, r.anchor_id) for r in match_contiguous(ev, ["A", "B", "C"], 60).collect()}
+    assert c == {(1, 10)}
+    fu = {(r.user_id, r.anchor_id) for r in match_funnel(ev, ["A", "B", "C"], 60).collect()}
+    assert fu == {(1, 10), (2, 20)}  # funnel skips the x; window still drops user 3
+    # funnel picks the EARLIEST later step: span for user 2 is 20 s
+    spans = {r.user_id: r.span_s for r in match_funnel(ev, ["A", "B", "C"], 60).collect()}
+    assert spans[2] == 20
