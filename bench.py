@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     "emb_topk_ivf",
     # round-4: PQ-compressed ANN (codebook fit + encode + refine)
     "emb_topk_ivfpq",
+    # round-5: CEP over the events table (lead-window matcher + funnel)
+    # and the audio fingerprint near-dup pipeline
+    "events_pattern_contiguous",
+    "events_funnel",
+    "audio_near_dups",
 ]
 
 
