@@ -1161,3 +1161,51 @@ def ensure_golden_audio_near_dups(
     )
     pq.write_table(tbl, path, compression="zstd")
     return path
+
+
+RESAMPLE_TARGET_SR = 16000
+
+
+def ensure_golden_resample(
+    sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT, target_sr: int = RESAMPLE_TARGET_SR
+) -> str:
+    """Golden for the audio_resample_16k driver query: per DECODABLE clip,
+    the md5 + length of the linear-resampled, int16-requantized PCM at
+    ``target_sr``. Decode and resample both come from fixtures.independent
+    (per-sample-loop mirror of the engine's vectorized kernel; identical
+    explicit interpolation formula, so md5s are bit-exact)."""
+    import hashlib
+
+    out_dir = fixtures_dir_for(sf_dir, root)
+    path = os.path.join(out_dir, "golden_resample.parquet")
+    if os.path.exists(path):
+        return path
+    clips = pq.read_table(
+        os.path.join(ensure_fixtures(sf_dir, root), "clips.parquet"),
+        columns=["clip_id", "bytes", "codec", "sr_hz"],
+    )
+    ids, md5s, lens = [], [], []
+    for cid, buf, codec, sr in zip(
+        clips.column("clip_id").to_pylist(),
+        clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(),
+        clips.column("sr_hz").to_pylist(),
+    ):
+        try:
+            pcm, _sr = independent.decode(buf, codec)
+        except Exception:  # noqa: BLE001 - decode failure => dropped row
+            continue
+        y = independent.resample_linear(pcm, sr or _sr, target_sr)
+        q = np.round(np.clip(y, -1.0, 1.0) * 32767.0).astype("<i2")
+        ids.append(cid)
+        md5s.append(hashlib.md5(q.tobytes()).hexdigest())
+        lens.append(int(q.size))
+    tbl = pa.Table.from_pydict(
+        {
+            "clip_id": pa.array(ids),
+            "n_samples": pa.array(lens, type=pa.int32()),
+            "pcm16_md5": pa.array(md5s),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd")
+    return path

@@ -580,3 +580,27 @@ def audio_fingerprint(pcm, sr_hz: int):
         prev_diffs = diffs
         start += hop
     return tokens
+
+
+def resample_linear(pcm, sr_in: int, sr_out: int):
+    """Independent mirror of functions/audio.resample_linear_np — the
+    same explicit formula (y = x[idx] + frac*(x[idx+1]-x[idx]), tail
+    clamp to x[-1]) in a per-sample Python loop."""
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.size == 0 or sr_in <= 0 or sr_out <= 0:
+        return np.zeros(0)
+    n_out = round(x.size * sr_out / sr_in)
+    if n_out <= 0:
+        return np.zeros(0)
+    step = float(sr_in) / float(sr_out)
+    out = np.empty(n_out)
+    n = x.size
+    for j in range(n_out):
+        pos = j * step
+        idx = int(pos)
+        if idx >= n - 1:
+            out[j] = x[n - 1]
+        else:
+            frac = pos - idx
+            out[j] = x[idx] + frac * (x[idx + 1] - x[idx])
+    return out

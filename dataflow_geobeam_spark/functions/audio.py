@@ -300,3 +300,110 @@ def with_fingerprints(
             yield pa.RecordBatch.from_arrays(arrays, names=keep_names + ["fp", "n_tokens"])
 
     return df.mapInArrow(fn, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: linear-interpolation resampling (sr normalization for training)
+# ---------------------------------------------------------------------------
+
+
+def resample_linear_np(pcm, sr_in: int, sr_out: int):
+    """Resample float PCM from ``sr_in`` to ``sr_out`` by linear
+    interpolation on the uniform grid.
+
+    Exact arithmetic spec (shared with the independent golden mirror —
+    fixtures/independent.resample_linear implements the SAME formula in a
+    per-sample loop, so outputs are bit-identical; np.interp is NOT used
+    because its ``x[i] + frac*(x[i+1]-x[i])`` association is fixed here
+    explicitly):
+
+        n_out   = round(n_in * sr_out / sr_in)      (Python round)
+        pos     = j * (sr_in / sr_out)              (float64)
+        idx     = floor(pos), frac = pos - idx
+        y[j]    = x[idx] + frac * (x[idx+1] - x[idx])   for idx < n_in-1
+        y[j]    = x[n_in-1]                              for idx >= n_in-1
+
+    Returns float64. Identity when sr_in == sr_out (same length, cast
+    only). Empty input or non-positive rates return an empty array.
+    """
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.size == 0 or sr_in <= 0 or sr_out <= 0:
+        return np.zeros(0)
+    n_out = round(x.size * sr_out / sr_in)
+    if n_out <= 0:
+        return np.zeros(0)
+    pos = np.arange(n_out, dtype=np.float64) * (float(sr_in) / float(sr_out))
+    idx = np.floor(pos).astype(np.int64)
+    tail = idx >= x.size - 1
+    idx_c = np.minimum(idx, x.size - 2) if x.size > 1 else np.zeros_like(idx)
+    frac = pos - idx
+    y = x[idx_c] + frac * (x[idx_c + 1] - x[idx_c]) if x.size > 1 else x[idx_c].copy()
+    y[tail] = x[-1]
+    return y
+
+
+def with_resampled_pcm16(
+    df,
+    target_sr: int,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+):
+    """Decode + resample to ``target_sr`` + int16-quantize in ONE
+    mapInArrow pass: appends ``pcm16`` (binary little-endian int16 per
+    the engine's F11/F15 quantization contract: clip to [-1,1], *32767,
+    round-half-even) and ``n_samples``; drops the payload column in the
+    same pass. Decode failure => NULL pcm16 (F1/make_valid semantics).
+
+    This is the sr-normalization stage an ASR training pipeline runs
+    before feature extraction — heterogeneous crawl audio in, uniform
+    sample rate out."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+
+    from dataflow_geobeam_spark.functions.decode import _binary_views
+
+    keep = [f for f in df.schema.fields if f.name != bytes_col]
+    out_schema = StructType(
+        keep
+        + [
+            StructField("pcm16", BinaryType()),
+            StructField("n_samples", IntegerType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        from dataflow_geobeam_spark import codecs
+
+        for batch in batches:
+            names = batch.schema.names
+            bufs = _binary_views(batch.column(names.index(bytes_col)))
+            codec_vals = batch.column(names.index(codec_col)).to_pylist()
+            sr_vals = batch.column(names.index(sr_col)).to_pylist()
+            outs, ns = [], []
+            for buf, c, sr in zip(bufs, codec_vals, sr_vals):
+                try:
+                    pcm, _sr = codecs.decode(buf, c)
+                    y = resample_linear_np(pcm, sr or _sr, target_sr)
+                    q = np.round(np.clip(y, -1.0, 1.0) * 32767.0).astype("<i2")
+                    outs.append(q.tobytes())
+                    ns.append(q.size)
+                except Exception:  # noqa: BLE001 - decode failure => nulls
+                    outs.append(None), ns.append(None)
+            arrays = [batch.column(names.index(n)) for n in keep_names]
+            arrays += [
+                pa.array(outs, type=pa.binary()),
+                pa.array(ns, type=pa.int32()),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=keep_names + ["pcm16", "n_samples"]
+            )
+
+    return df.mapInArrow(fn, out_schema)

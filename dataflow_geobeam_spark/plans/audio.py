@@ -295,3 +295,23 @@ def audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # image_near_dups, so decode+FFT runs once, not three times
     fp = with_fingerprints(df).localCheckpoint(eager=True)
     return audio_near_dup_pairs(fp, "clip_id", "fp", max_ber=0.10)
+
+
+def audio_resample_16k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-rate normalization (round 5): decode + linear resample to
+    16 kHz + int16 requantize in ONE mapInArrow pass
+    (functions/audio.with_resampled_pcm16) — the preprocessing stage an
+    ASR training pipeline runs on heterogeneous crawl audio before
+    feature extraction. The md5 is computed by Catalyst's md5() on the
+    kernel's binary output, so the gate pins every resampled byte.
+
+    Oracle: generation-time golden (independent per-sample-loop decode +
+    resample, same explicit interpolation formula — bit-exact md5s)."""
+    from dataflow_geobeam_spark.functions.audio import with_resampled_pcm16
+
+    fx = ensure_fixtures(sf_dir)
+    df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
+    rs = with_resampled_pcm16(df, target_sr=16000).where(F.col("pcm16").isNotNull())
+    return rs.select(
+        "clip_id", "n_samples", F.md5("pcm16").alias("pcm16_md5")
+    )

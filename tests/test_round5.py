@@ -760,3 +760,62 @@ def test_cep_match_semantics(spark):
     # funnel picks the EARLIEST later step: span for user 2 is 20 s
     spans = {r.user_id: r.span_s for r in match_funnel(ev, ["A", "B", "C"], 60).collect()}
     assert spans[2] == 20
+
+
+def test_resample_linear_bit_identical_and_edges():
+    import numpy as np
+
+    from dataflow_geobeam_spark.audio_synth import synth_pcm
+    from dataflow_geobeam_spark.fixtures.independent import resample_linear
+    from dataflow_geobeam_spark.functions.audio import resample_linear_np
+
+    for i, sr_in, sr_out, dur in [
+        (1, 8000, 16000, 900),
+        (2, 44100, 16000, 1500),
+        (3, 16000, 16000, 700),
+        (5, 48000, 8000, 250),
+    ]:
+        p = synth_pcm(i, sr_in, dur)
+        a = resample_linear_np(p, sr_in, sr_out)
+        assert np.array_equal(a, resample_linear(p, sr_in, sr_out))
+        assert a.size == round(p.size * sr_out / sr_in)
+    # identity rate: exact passthrough
+    p = synth_pcm(9, 16000, 500)
+    assert np.array_equal(resample_linear_np(p, 16000, 16000), p.astype(np.float64))
+    # empty / degenerate
+    assert resample_linear_np(np.zeros(0), 8000, 16000).size == 0
+    assert resample_linear_np(p, 0, 16000).size == 0
+    # single-sample input: constant extension
+    one = np.asarray([0.5], dtype=np.float32)
+    out = resample_linear_np(one, 8000, 16000)
+    assert out.size == 2 and (out == 0.5).all()
+
+
+def test_with_resampled_pcm16_nulls_on_decode_failure(spark):
+    """Truncated/unknown-codec payloads yield NULL pcm16; valid clips get
+    round(n_in * target/sr) samples of quantized PCM."""
+    import numpy as np
+
+    from dataflow_geobeam_spark.audio_synth import synth_pcm
+    from dataflow_geobeam_spark.fixtures import independent as ind
+    from dataflow_geobeam_spark.functions.audio import with_resampled_pcm16
+
+    pcm = synth_pcm(3, 8000, 500)
+    good = ind.encode(pcm, 8000, "wav")
+    rows = [
+        ("a", good, "wav", 8000),
+        ("b", good[:20], "wav", 8000),
+        ("c", good, "unknown", 8000),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    got = {r.clip_id: r for r in with_resampled_pcm16(df, 16000).collect()}
+    assert got["a"].n_samples == round(pcm.size * 2)
+    assert len(got["a"].pcm16) == got["a"].n_samples * 2
+    assert got["b"].pcm16 is None and got["c"].pcm16 is None
+    # quantization matches the engine spec end-to-end
+    y = np.frombuffer(got["a"].pcm16, dtype="<i2")
+    dec, _ = ind.decode(good, "wav")
+    from dataflow_geobeam_spark.functions.audio import resample_linear_np
+
+    want = np.round(np.clip(resample_linear_np(dec, 8000, 16000), -1, 1) * 32767.0).astype("<i2")
+    assert np.array_equal(y, want)
