@@ -37,6 +37,26 @@ ANNOTATED = {
         "Top-k. Expect: TakeOrderedAndProject (per-partition top-k, k-row "
         "driver merge) — NOT a single-partition Window sort (round-1 defect)."
     ),
+    "events_pattern_contiguous": (
+        "CEP contiguous matcher (round 5). Expect: ONE Exchange on "
+        "user_id + Sort + Window (lead exprs) + Filter — the session-"
+        "window plan family; NO joins anywhere; events scan prunes to 4 "
+        "columns."
+    ),
+    "events_funnel": (
+        "CEP skip-till-next funnel (round 5). Expect: partial+final "
+        "ObjectHashAggregate building per-key sorted step arrays, ONE "
+        "equi-join of anchors to arrays on user_id (AQE broadcasts the "
+        "per-key array side at this SF; at scale both sides hash-"
+        "partition on the key), array filter/get pruning in the "
+        "projection — no per-row Python, no cartesian."
+    ),
+    "audio_resample_16k": (
+        "SR normalization (round 5). Expect: ONE MapInArrow node (decode "
+        "+ linear resample + int16 requantize in a single Arrow pass), "
+        "Catalyst md5() on the kernel's binary output, no shuffle — "
+        "row-local kernel over the clips scan."
+    ),
     "audio_near_dups": (
         "Audio fingerprint near-dup (round 5). Expect: ONE decode+FFT+hash "
         "MapInArrow pass materialized by localCheckpoint (3 consumers: "
