@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral": audio.audio_spectral,
         "audio_near_dups": audio.audio_near_dups,
         "audio_resample_16k": audio.audio_resample_16k,
+        "audio_mel_features": audio.audio_mel_features,
         # --- relational operator coverage (SURVEY.md §2.4) ---
         "tpch_q1_pricing_summary": relational.q1_pricing_summary_rounded,
         "tpch_q6_forecast_revenue": relational.q6_rounded,
@@ -199,9 +200,13 @@ def oracle_sql() -> dict[str, str]:
     from dataflow_geobeam_spark.fixtures.generate import ensure_golden_audio_near_dups
 
     ensure_golden_audio_near_dups("/root/testdata/sf0.01")
-    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_resample
+    from dataflow_geobeam_spark.fixtures.generate import (
+        ensure_golden_mel,
+        ensure_golden_resample,
+    )
 
     ensure_golden_resample("/root/testdata/sf0.01")
+    ensure_golden_mel("/root/testdata/sf0.01")
     return {
         "audio_window_tumbling": f"""
             SELECT CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS window_start_s,
@@ -446,6 +451,11 @@ def oracle_sql() -> dict[str, str]:
         "audio_resample_16k": f"""
             SELECT clip_id, n_samples, pcm16_md5
             FROM read_parquet('{FIXTURES_SF01}/golden_resample.parquet')
+        """,
+        "audio_mel_features": f"""
+            SELECT clip_id,
+                   {", ".join(f"mel_mean[{i + 1}] AS m{i:02d}" for i in range(16))}
+            FROM read_parquet('{FIXTURES_SF01}/golden_mel.parquet')
         """,
         "dedup_exact_transcripts": f"""
             SELECT t_clip_id AS clip_id, CAST(count(*) AS BIGINT) AS n_copies

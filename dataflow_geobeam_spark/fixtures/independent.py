@@ -604,3 +604,39 @@ def resample_linear(pcm, sr_in: int, sr_out: int):
             frac = pos - idx
             out[j] = x[idx] + frac * (x[idx + 1] - x[idx])
     return out
+
+
+def mel_mean(pcm, sr_hz: int):
+    """Independent mirror of functions/audio.mel_mean_np: resample to
+    16 kHz (resample_linear above), 400/160 rectangular frames, float64
+    power spectrum, HTK-mel triangular weights recomputed from the same
+    formula with the same numpy elementwise ops, LEFT-TO-RIGHT folds for
+    the band energies and the frame mean. Per-frame/per-mel loop
+    structure vs the engine's batched passes; bit-identical outputs."""
+    sr, frame, hop, n_mels = 16000, 400, 160, 16
+    f_lo, f_hi, floor_e = 20.0, 7600.0, 1e-10
+    y = resample_linear(pcm, sr_hz, sr)
+    if y.size < frame:
+        return None
+    freqs = np.fft.rfftfreq(frame, d=1.0 / sr)
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+    pts = 700.0 * (10.0 ** (np.linspace(mel(f_lo), mel(f_hi), n_mels + 2) / 2595.0) - 1.0)
+    weights = []
+    for m in range(n_mels):
+        lo, ctr, hi = pts[m], pts[m + 1], pts[m + 2]
+        up = (freqs - lo) / (ctr - lo)
+        down = (hi - freqs) / (hi - ctr)
+        tri = np.minimum(up, down)
+        weights.append(np.where(tri > 0.0, tri, 0.0))
+    n_frames = 1 + (y.size - frame) // hop
+    mean = np.zeros(n_mels)
+    for t in range(n_frames):
+        seg = y[t * hop : t * hop + frame]
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        for m in range(n_mels):
+            w = weights[m]
+            acc = 0.0
+            for b in np.flatnonzero(w):
+                acc = acc + w[b] * spec[b]
+            mean[m] = mean[m] + np.log10(acc + floor_e)
+    return mean / float(n_frames)

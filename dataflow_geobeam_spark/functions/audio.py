@@ -407,3 +407,132 @@ def with_resampled_pcm16(
             )
 
     return df.mapInArrow(fn, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: log-mel filterbank features (ASR training features)
+# ---------------------------------------------------------------------------
+
+MEL_SR = 16000          # features are computed on sr-normalized PCM
+MEL_FRAME = 400         # 25 ms at 16 kHz
+MEL_HOP = 160           # 10 ms
+MEL_N = 16
+MEL_F_LO, MEL_F_HI = 20.0, 7600.0
+MEL_FLOOR = 1e-10
+
+
+def _hz_to_mel(f):
+    import numpy as np
+
+    return 2595.0 * np.log10(1.0 + f / 700.0)
+
+
+def _mel_to_hz(m):
+    import numpy as np
+
+    return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+
+def mel_filters(sr: int = MEL_SR, frame: int = MEL_FRAME, n_mels: int = MEL_N):
+    """Triangular mel filterbank weights (HTK mel scale, float64):
+    returns (weights (n_mels, n_bins), support [(lo, hi)] per mel).
+    Deterministic pure formula — the independent mirror recomputes it
+    with the same numpy elementwise ops (same libm, same ULPs)."""
+    import numpy as np
+
+    n_bins = frame // 2 + 1
+    freqs = np.fft.rfftfreq(frame, d=1.0 / sr)
+    pts = _mel_to_hz(np.linspace(_hz_to_mel(MEL_F_LO), _hz_to_mel(MEL_F_HI), n_mels + 2))
+    w = np.zeros((n_mels, n_bins))
+    support = []
+    for m in range(n_mels):
+        lo, ctr, hi = pts[m], pts[m + 1], pts[m + 2]
+        up = (freqs - lo) / (ctr - lo)
+        down = (hi - freqs) / (hi - ctr)
+        tri = np.minimum(up, down)
+        w[m] = np.where(tri > 0.0, tri, 0.0)
+        nz = np.flatnonzero(w[m])
+        support.append((int(nz[0]), int(nz[-1]) + 1) if nz.size else (0, 0))
+    return w, support
+
+
+def mel_mean_np(pcm, sr_hz: int):
+    """Per-clip MEAN log-mel vector (length MEL_N, float64).
+
+    Chain spec (shared with fixtures.independent.mel_mean — identical
+    arithmetic, loop-structured there): resample to MEL_SR via
+    ``resample_linear_np``'s explicit formula, frame MEL_FRAME/MEL_HOP
+    (rectangular window), float64 power spectrum per frame, mel energy =
+    LEFT-TO-RIGHT sum of w[m,bin]*spec[bin] over the filter's support
+    bins, log10(E + MEL_FLOOR), then mean = left-to-right sum over
+    frames / n_frames. Every fold is sequential so the two
+    implementations are bit-identical. Returns None if the clip yields
+    no full frame.
+    """
+    import numpy as np
+
+    y = resample_linear_np(pcm, sr_hz, MEL_SR)
+    if y.size < MEL_FRAME:
+        return None
+    n_frames = 1 + (y.size - MEL_FRAME) // MEL_HOP
+    idx = np.arange(MEL_FRAME)[None, :] + MEL_HOP * np.arange(n_frames)[:, None]
+    spec = np.abs(np.fft.rfft(y[idx], axis=1)) ** 2
+    w, support = mel_filters()
+    logE = np.empty((n_frames, MEL_N))
+    for m in range(MEL_N):
+        lo, hi = support[m]
+        acc = np.zeros(n_frames)
+        for b in range(lo, hi):  # left-to-right fold per the shared spec
+            acc = acc + w[m, b] * spec[:, b]
+        logE[:, m] = np.log10(acc + MEL_FLOOR)
+    mean = np.zeros(MEL_N)
+    for t in range(n_frames):  # left-to-right over frames
+        mean = mean + logE[t]
+    return mean / float(n_frames)
+
+
+def with_mel_means(
+    df, bytes_col: str = "bytes", codec_col: str = "codec", sr_col: str = "sr_hz"
+):
+    """Decode + resample + log-mel in ONE mapInArrow pass: appends
+    ``mel_mean`` (array<double>, length MEL_N, each element rounded to 6
+    like Spark's round) and drops the payload column. Decode failure or
+    a sub-frame clip => NULL."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    from dataflow_geobeam_spark.functions.decode import _binary_views
+
+    keep = [f for f in df.schema.fields if f.name != bytes_col]
+    out_schema = StructType(keep + [StructField("mel_mean", ArrayType(DoubleType()))])
+    keep_names = [f.name for f in keep]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        from dataflow_geobeam_spark import codecs
+
+        for batch in batches:
+            names = batch.schema.names
+            bufs = _binary_views(batch.column(names.index(bytes_col)))
+            codec_vals = batch.column(names.index(codec_col)).to_pylist()
+            sr_vals = batch.column(names.index(sr_col)).to_pylist()
+            outs = []
+            for buf, c, sr in zip(bufs, codec_vals, sr_vals):
+                try:
+                    pcm, _sr = codecs.decode(buf, c)
+                    v = mel_mean_np(pcm, sr or _sr)
+                    outs.append(
+                        None
+                        if v is None
+                        else (np.floor(v * 1e6 + 0.5) / 1e6).tolist()
+                    )
+                except Exception:  # noqa: BLE001 - decode failure => null
+                    outs.append(None)
+            arrays = [batch.column(names.index(n)) for n in keep_names]
+            arrays.append(pa.array(outs, type=pa.list_(pa.float64())))
+            yield pa.RecordBatch.from_arrays(arrays, names=keep_names + ["mel_mean"])
+
+    return df.mapInArrow(fn, out_schema)

@@ -315,3 +315,27 @@ def audio_resample_16k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rs.select(
         "clip_id", "n_samples", F.md5("pcm16").alias("pcm16_md5")
     )
+
+
+def audio_mel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASR training features (round 5): decode + 16 kHz resample + 25 ms
+    framing + HTK log-mel filterbank + per-clip mean, all in ONE
+    mapInArrow pass (functions/audio.with_mel_means) — the feature-
+    extraction stage after sr normalization, completing the
+    decode -> resample -> features preprocessing chain.
+
+    Oracle: generation-time golden via the independent per-frame-loop
+    mirror (fixtures/independent.mel_mean) — every fold in the chain is
+    specified left-to-right so the 16 doubles are bit-exact."""
+    from dataflow_geobeam_spark.functions.audio import MEL_N, with_mel_means
+
+    fx = ensure_fixtures(sf_dir)
+    df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
+    return (
+        with_mel_means(df)
+        .where(F.col("mel_mean").isNotNull())
+        .select(
+            "clip_id",
+            *[F.col("mel_mean")[i].alias(f"m{i:02d}") for i in range(MEL_N)],
+        )
+    )

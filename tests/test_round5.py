@@ -819,3 +819,27 @@ def test_with_resampled_pcm16_nulls_on_decode_failure(spark):
 
     want = np.round(np.clip(resample_linear_np(dec, 8000, 16000), -1, 1) * 32767.0).astype("<i2")
     assert np.array_equal(y, want)
+
+
+def test_mel_mean_bit_identical_and_edges(spark):
+    import numpy as np
+
+    from dataflow_geobeam_spark.audio_synth import synth_pcm
+    from dataflow_geobeam_spark.fixtures import independent as ind
+    from dataflow_geobeam_spark.functions.audio import mel_mean_np, with_mel_means
+
+    for i, sr, dur in [(1, 8000, 900), (3, 44100, 2500), (5, 22050, 333)]:
+        p = synth_pcm(i, sr, dur)
+        assert np.array_equal(mel_mean_np(p, sr), ind.mel_mean(p, sr))
+    # sub-frame clip (< 25 ms at 16 kHz) -> None / NULL row
+    assert mel_mean_np(synth_pcm(9, 16000, 20), 16000) is None
+    pcm = synth_pcm(3, 8000, 500)
+    rows = [
+        ("a", ind.encode(pcm, 8000, "wav"), "wav", 8000),
+        ("b", ind.encode(synth_pcm(9, 16000, 20), 16000, "wav"), "wav", 16000),
+        ("c", b"junk", "wav", 8000),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    got = {r.clip_id: r.mel_mean for r in with_mel_means(df).collect()}
+    assert got["a"] is not None and len(got["a"]) == 16
+    assert got["b"] is None and got["c"] is None
