@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "events_pattern_contiguous",
     "events_funnel",
     "audio_near_dups",
+    # round-5: ASR preprocessing chain (decode -> resample -> mel), both
+    # single-pass mapInArrow kernels over the full sf0.1 clip corpus
+    "audio_resample_16k",
+    "audio_mel_features",
 ]
 
 

@@ -1018,7 +1018,9 @@ AUDIO_DUP_ROWS_PER_SF = 4800  # sf0.01 -> 48, sf0.1 -> 480
 AUDIO_DUP_MAX_BER = 0.10
 
 
-def ensure_audio_dupes(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+def ensure_audio_dupes(
+    sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT, n_override: int | None = None
+) -> str:
     """Idempotent fixtures/<sf>/audio_dupes.parquet: (clip_id string,
     bytes binary, sr_hz int32, dur_ms int32, codec string) — a clip
     corpus with PLANTED near-duplicates for the audio_near_dups query:
@@ -1042,10 +1044,37 @@ def ensure_audio_dupes(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
     path = os.path.join(out_dir, "audio_dupes.parquet")
     if os.path.exists(path):
         return path
-    n = max(48, int(AUDIO_DUP_ROWS_PER_SF * sf_from_dir(sf_dir)))
+    n = n_override or max(48, int(AUDIO_DUP_ROWS_PER_SF * sf_from_dir(sf_dir)))
+    if n > 2000:
+        # bench-scale corpora generate in parallel 1000-row blocks (the
+        # variant chain resets at block starts — fine for scale corpora;
+        # gate-scale corpora keep the single serial chain so goldens are
+        # stable)
+        from concurrent.futures import ProcessPoolExecutor
+
+        spans = [(lo, min(lo + 1000, n)) for lo in range(0, n, 1000)]
+        writer = None
+        with ProcessPoolExecutor(max_workers=8) as pool:
+            for tbl in pool.map(_audio_dupe_block, spans):
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        path, tbl.schema, compression="zstd"
+                    )
+                writer.write_table(tbl, row_group_size=256)
+        if writer is not None:
+            writer.close()
+        return path
+    pq.write_table(
+        _audio_dupe_block((0, n)), path, compression="zstd", row_group_size=256
+    )
+    return path
+
+
+def _audio_dupe_block(span: tuple[int, int]) -> pa.Table:
+    lo_i, hi_i = span
     prev: list[tuple[np.ndarray, int, int, str]] = []  # (pcm, sr, dur, codec)
     ids, bufs, srs, durs, codecs_out = [], [], [], [], []
-    for i in range(n):
+    for i in range(lo_i, hi_i):
         rng = np.random.default_rng([SEED, 11_000_000 + i])
         if i % 7 == 3 and len(prev) >= 1:
             pcm0, sr, dur, codec = prev[-1]
@@ -1082,7 +1111,10 @@ def ensure_audio_dupes(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
         srs.append(sr)
         durs.append(dur)
         codecs_out.append(codec)
-    tbl = pa.Table.from_pydict(
+    # 256-row groups like every binary-payload fixture: one giant row
+    # group makes the whole file ONE Spark split and serializes the scan
+    # (measured: the 30k-clip bench ran local[2] == local[8] == 81 s)
+    return pa.Table.from_pydict(
         {
             "clip_id": pa.array(ids),
             "bytes": pa.array(bufs, type=pa.binary()),
@@ -1091,8 +1123,6 @@ def ensure_audio_dupes(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
             "codec": pa.array(codecs_out),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
-    return path
 
 
 def ensure_golden_audio_near_dups(
