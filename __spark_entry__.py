@@ -43,10 +43,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_codec_hourly": audio.audio_codec_hourly,
         "audio_bucket_agg_salted": audio.audio_bucket_agg_salted,
         "audio_frame_rms": audio.audio_frame_rms,
+        "audio_vad": audio.audio_vad,
         "audio_spectral": audio.audio_spectral,
         "audio_near_dups": audio.audio_near_dups,
         "audio_resample_16k": audio.audio_resample_16k,
         "audio_mel_features": audio.audio_mel_features,
+        "audio_mfcc": audio.audio_mfcc,
         # --- relational operator coverage (SURVEY.md §2.4) ---
         "tpch_q1_pricing_summary": relational.q1_pricing_summary_rounded,
         "tpch_q6_forecast_revenue": relational.q6_rounded,
@@ -56,6 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": relational.events_sessions,
         "events_approx_users": relational.events_approx_users,
         "events_pattern_contiguous": relational.events_pattern_contiguous,
+        "events_pattern_absence": relational.events_pattern_absence,
+        "events_pattern_kleene": relational.events_pattern_kleene,
         "events_funnel": relational.events_funnel,
         "top_customers": relational.top_customers_by_revenue,
         "order_percentiles": relational.order_price_percentiles,
@@ -202,11 +206,13 @@ def oracle_sql() -> dict[str, str]:
     ensure_golden_audio_near_dups("/root/testdata/sf0.01")
     from dataflow_geobeam_spark.fixtures.generate import (
         ensure_golden_mel,
+        ensure_golden_mfcc,
         ensure_golden_resample,
     )
 
     ensure_golden_resample("/root/testdata/sf0.01")
     ensure_golden_mel("/root/testdata/sf0.01")
+    ensure_golden_mfcc("/root/testdata/sf0.01")
     return {
         "audio_window_tumbling": f"""
             SELECT CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS window_start_s,
@@ -444,6 +450,31 @@ def oracle_sql() -> dict[str, str]:
                    spectral_rolloff_hz
             FROM read_parquet('{FIXTURES_SF01}/golden_spectral.parquet')
         """,
+        "audio_vad": f"""
+            WITH fl AS (
+              SELECT clip_id, frame_idx,
+                     frame_rms > greatest(
+                       0.1 * max(frame_rms) OVER (PARTITION BY clip_id),
+                       1e-4) AS speech
+              FROM read_parquet('{FIXTURES_SF01}/golden_frames.parquet')
+            ), fr AS (
+              SELECT clip_id, speech,
+                     speech AND NOT coalesce(
+                       lag(speech) OVER (PARTITION BY clip_id
+                                         ORDER BY frame_idx),
+                       false) AS rising
+              FROM fl
+            )
+            SELECT clip_id,
+                   CAST(count(*) AS BIGINT) AS n_frames,
+                   CAST(sum(CASE WHEN speech THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_speech,
+                   round(sum(CASE WHEN speech THEN 1 ELSE 0 END)
+                         / count(*), 6) AS speech_ratio,
+                   CAST(sum(CASE WHEN rising THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_segments
+            FROM fr GROUP BY clip_id
+        """,
         "audio_near_dups": f"""
             SELECT id_a, id_b, ber
             FROM read_parquet('{FIXTURES_SF01}/golden_audio_near_dups.parquet')
@@ -456,6 +487,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT clip_id,
                    {", ".join(f"mel_mean[{i + 1}] AS m{i:02d}" for i in range(16))}
             FROM read_parquet('{FIXTURES_SF01}/golden_mel.parquet')
+        """,
+        "audio_mfcc": f"""
+            SELECT clip_id,
+                   {", ".join(f"mfcc_mean[{i + 1}] AS c{i:02d}" for i in range(13))}
+            FROM read_parquet('{FIXTURES_SF01}/golden_mfcc.parquet')
         """,
         "dedup_exact_transcripts": f"""
             SELECT t_clip_id AS clip_id, CAST(count(*) AS BIGINT) AS n_copies
@@ -641,6 +677,50 @@ def oracle_sql() -> dict[str, str]:
             FROM o
             WHERE event_type = 'view' AND ty1 = 'click' AND ty2 = 'purchase'
               AND ts2 <= ts + INTERVAL 604800 SECOND
+        """,
+        "events_pattern_absence": """
+            SELECT e1.user_id, e1.event_id AS anchor_id,
+                   CAST(floor(epoch(e1.ts)) AS BIGINT) AS t0_s
+            FROM events e1
+            WHERE e1.event_type = 'view' AND NOT EXISTS (
+              SELECT 1 FROM events e2
+              WHERE e2.user_id = e1.user_id AND e2.event_type = 'purchase'
+                AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 3600 SECOND
+            )
+        """,
+        "events_pattern_kleene": """
+            WITH r AS (
+              SELECT user_id, event_id, ts, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ), o AS (
+              SELECT user_id, event_id, ts, event_type, rn,
+                     max(CASE WHEN event_type <> 'click' THEN rn END)
+                       OVER wp AS nc_rn,
+                     last_value(CASE WHEN event_type <> 'click'
+                                     THEN event_type END IGNORE NULLS)
+                       OVER wp AS nc_ty,
+                     last_value(CASE WHEN event_type <> 'click'
+                                     THEN ts END IGNORE NULLS)
+                       OVER wp AS nc_ts,
+                     last_value(CASE WHEN event_type <> 'click'
+                                     THEN event_id END IGNORE NULLS)
+                       OVER wp AS nc_id
+              FROM r
+              WINDOW wp AS (PARTITION BY user_id ORDER BY rn
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT user_id, nc_id AS anchor_id,
+                   CAST(rn - 1 - nc_rn AS BIGINT) AS n_b,
+                   CAST(floor(epoch(nc_ts)) AS BIGINT) AS t0_s,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS t_end_s,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(nc_ts)) AS BIGINT) AS span_s
+            FROM o
+            WHERE event_type = 'purchase' AND nc_ty = 'view'
+              AND rn - 1 - nc_rn >= 1
+              AND ts <= nc_ts + INTERVAL 604800 SECOND
         """,
         "events_funnel": """
             WITH anchors AS (

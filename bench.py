@@ -59,6 +59,12 @@ BENCH_QUERIES = [
     # single-pass mapInArrow kernels over the full sf0.1 clip corpus
     "audio_resample_16k",
     "audio_mel_features",
+    # round-5b: MFCC cepstra (one-pass kernel), VAD segmentation (pure
+    # Catalyst windows), and the absence/Kleene CEP matchers
+    "audio_mfcc",
+    "audio_vad",
+    "events_pattern_absence",
+    "events_pattern_kleene",
 ]
 
 

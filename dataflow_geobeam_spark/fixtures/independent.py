@@ -640,3 +640,49 @@ def mel_mean(pcm, sr_hz: int):
                 acc = acc + w[b] * spec[b]
             mean[m] = mean[m] + np.log10(acc + floor_e)
     return mean / float(n_frames)
+
+
+def mfcc_mean(pcm, sr_hz: int):
+    """Independent mirror of functions/audio.mfcc_mean_np: the mel_mean
+    chain up to the per-frame log-mel vector, then an unnormalized
+    DCT-II per frame — c[k] = sum over m of logE[m]*B[k,m], scalar
+    left-to-right — and the frame mean. The DCT basis B is the ONE
+    shared elementwise numpy expression (the mel_filters precedent:
+    same libm, same ULPs); the folds are per-frame/per-coefficient
+    scalar loops vs the engine's batched column passes."""
+    sr, frame, hop, n_mels, n_mfcc = 16000, 400, 160, 16, 13
+    f_lo, f_hi, floor_e = 20.0, 7600.0, 1e-10
+    y = resample_linear(pcm, sr_hz, sr)
+    if y.size < frame:
+        return None
+    freqs = np.fft.rfftfreq(frame, d=1.0 / sr)
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+    pts = 700.0 * (10.0 ** (np.linspace(mel(f_lo), mel(f_hi), n_mels + 2) / 2595.0) - 1.0)
+    weights = []
+    for m in range(n_mels):
+        lo, ctr, hi = pts[m], pts[m + 1], pts[m + 2]
+        up = (freqs - lo) / (ctr - lo)
+        down = (hi - freqs) / (hi - ctr)
+        tri = np.minimum(up, down)
+        weights.append(np.where(tri > 0.0, tri, 0.0))
+    marr = np.arange(n_mels, dtype=np.float64)
+    karr = np.arange(n_mfcc, dtype=np.float64)[:, None]
+    basis = np.cos(np.pi * (marr + 0.5) * karr / float(n_mels))
+    n_frames = 1 + (y.size - frame) // hop
+    mean = np.zeros(n_mfcc)
+    for t in range(n_frames):
+        seg = y[t * hop : t * hop + frame]
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        log_e = np.empty(n_mels)
+        for m in range(n_mels):
+            w = weights[m]
+            acc = 0.0
+            for b in np.flatnonzero(w):
+                acc = acc + w[b] * spec[b]
+            log_e[m] = np.log10(acc + floor_e)
+        for k in range(n_mfcc):
+            acc = 0.0
+            for m in range(n_mels):
+                acc = acc + log_e[m] * basis[k, m]
+            mean[k] = mean[k] + acc
+    return mean / float(n_frames)

@@ -456,18 +456,17 @@ def mel_filters(sr: int = MEL_SR, frame: int = MEL_FRAME, n_mels: int = MEL_N):
     return w, support
 
 
-def mel_mean_np(pcm, sr_hz: int):
-    """Per-clip MEAN log-mel vector (length MEL_N, float64).
+def logmel_frames_np(pcm, sr_hz: int):
+    """Per-frame log-mel matrix (n_frames, MEL_N) in float64, or None
+    if the clip yields no full frame.
 
     Chain spec (shared with fixtures.independent.mel_mean — identical
     arithmetic, loop-structured there): resample to MEL_SR via
     ``resample_linear_np``'s explicit formula, frame MEL_FRAME/MEL_HOP
     (rectangular window), float64 power spectrum per frame, mel energy =
     LEFT-TO-RIGHT sum of w[m,bin]*spec[bin] over the filter's support
-    bins, log10(E + MEL_FLOOR), then mean = left-to-right sum over
-    frames / n_frames. Every fold is sequential so the two
-    implementations are bit-identical. Returns None if the clip yields
-    no full frame.
+    bins, log10(E + MEL_FLOOR). Every fold is sequential so engine and
+    mirror are bit-identical.
     """
     import numpy as np
 
@@ -485,19 +484,74 @@ def mel_mean_np(pcm, sr_hz: int):
         for b in range(lo, hi):  # left-to-right fold per the shared spec
             acc = acc + w[m, b] * spec[:, b]
         logE[:, m] = np.log10(acc + MEL_FLOOR)
+    return logE
+
+
+def mel_mean_np(pcm, sr_hz: int):
+    """Per-clip MEAN log-mel vector (length MEL_N, float64): the
+    ``logmel_frames_np`` chain followed by mean = left-to-right sum over
+    frames / n_frames (sequential fold, bit-identical to the mirror).
+    Returns None if the clip yields no full frame.
+    """
+    import numpy as np
+
+    logE = logmel_frames_np(pcm, sr_hz)
+    if logE is None:
+        return None
+    n_frames = logE.shape[0]
     mean = np.zeros(MEL_N)
     for t in range(n_frames):  # left-to-right over frames
         mean = mean + logE[t]
     return mean / float(n_frames)
 
 
-def with_mel_means(
-    df, bytes_col: str = "bytes", codec_col: str = "codec", sr_col: str = "sr_hz"
-):
-    """Decode + resample + log-mel in ONE mapInArrow pass: appends
-    ``mel_mean`` (array<double>, length MEL_N, each element rounded to 6
-    like Spark's round) and drops the payload column. Decode failure or
-    a sub-frame clip => NULL."""
+MFCC_N = 13
+
+
+def dct2_basis(n_mfcc: int = MFCC_N, n_mels: int = MEL_N):
+    """DCT-II basis B (n_mfcc, n_mels): B[k, m] = cos(pi*(m+0.5)*k/M).
+    Unnormalized (HTK convention sans lifter). Computed with ONE numpy
+    elementwise expression shared verbatim by the independent mirror —
+    same libm, same ULPs (the mel_filters precedent); the FOLDS that
+    consume it are what the two implementations structure differently."""
+    import numpy as np
+
+    m = np.arange(n_mels, dtype=np.float64)
+    k = np.arange(n_mfcc, dtype=np.float64)[:, None]
+    return np.cos(np.pi * (m + 0.5) * k / float(n_mels))
+
+
+def mfcc_mean_np(pcm, sr_hz: int):
+    """Per-clip MEAN MFCC vector (length MFCC_N, float64): DCT-II over
+    each ``logmel_frames_np`` row — c[t,k] = LEFT-TO-RIGHT sum over m of
+    logE[t,m] * B[k,m] — then mean = left-to-right sum over frames /
+    n_frames. The cepstral stage of the classic ASR feature chain
+    (decode -> resample -> log-mel -> MFCC); returns None if the clip
+    yields no full frame."""
+    import numpy as np
+
+    logE = logmel_frames_np(pcm, sr_hz)
+    if logE is None:
+        return None
+    n_frames = logE.shape[0]
+    basis = dct2_basis()
+    c = np.empty((n_frames, MFCC_N))
+    for k in range(MFCC_N):
+        acc = np.zeros(n_frames)
+        for m in range(MEL_N):  # left-to-right fold per the shared spec
+            acc = acc + logE[:, m] * basis[k, m]
+        c[:, k] = acc
+    mean = np.zeros(MFCC_N)
+    for t in range(n_frames):  # left-to-right over frames
+        mean = mean + c[t]
+    return mean / float(n_frames)
+
+
+def _with_clip_vector(df, kernel, out_col: str, bytes_col: str, codec_col: str, sr_col: str):
+    """Shared decode -> per-clip float-vector mapInArrow pass: appends
+    ``out_col`` (array<double>, each element rounded to 6 like Spark's
+    round) and drops the payload column. Decode failure or a sub-frame
+    clip => NULL. ``kernel(pcm, sr) -> 1-D float64 array | None``."""
     from collections.abc import Iterator
 
     import pyarrow as pa
@@ -506,7 +560,7 @@ def with_mel_means(
     from dataflow_geobeam_spark.functions.decode import _binary_views
 
     keep = [f for f in df.schema.fields if f.name != bytes_col]
-    out_schema = StructType(keep + [StructField("mel_mean", ArrayType(DoubleType()))])
+    out_schema = StructType(keep + [StructField(out_col, ArrayType(DoubleType()))])
     keep_names = [f.name for f in keep]
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -523,7 +577,7 @@ def with_mel_means(
             for buf, c, sr in zip(bufs, codec_vals, sr_vals):
                 try:
                     pcm, _sr = codecs.decode(buf, c)
-                    v = mel_mean_np(pcm, sr or _sr)
+                    v = kernel(pcm, sr or _sr)
                     outs.append(
                         None
                         if v is None
@@ -533,6 +587,26 @@ def with_mel_means(
                     outs.append(None)
             arrays = [batch.column(names.index(n)) for n in keep_names]
             arrays.append(pa.array(outs, type=pa.list_(pa.float64())))
-            yield pa.RecordBatch.from_arrays(arrays, names=keep_names + ["mel_mean"])
+            yield pa.RecordBatch.from_arrays(arrays, names=keep_names + [out_col])
 
     return df.mapInArrow(fn, out_schema)
+
+
+def with_mel_means(
+    df, bytes_col: str = "bytes", codec_col: str = "codec", sr_col: str = "sr_hz"
+):
+    """Decode + resample + log-mel in ONE mapInArrow pass: appends
+    ``mel_mean`` (array<double>, length MEL_N, each element rounded to 6
+    like Spark's round) and drops the payload column. Decode failure or
+    a sub-frame clip => NULL."""
+    return _with_clip_vector(df, mel_mean_np, "mel_mean", bytes_col, codec_col, sr_col)
+
+
+def with_mfcc_means(
+    df, bytes_col: str = "bytes", codec_col: str = "codec", sr_col: str = "sr_hz"
+):
+    """Decode + resample + log-mel + DCT-II cepstrum in ONE mapInArrow
+    pass: appends ``mfcc_mean`` (array<double>, length MFCC_N, round-6)
+    and drops the payload column. Decode failure or a sub-frame clip =>
+    NULL."""
+    return _with_clip_vector(df, mfcc_mean_np, "mfcc_mean", bytes_col, codec_col, sr_col)

@@ -2,7 +2,7 @@
 streams — the sequence-detection tier of the north rule's
 "structured-streaming / CEP engine".
 
-Two declarative match semantics, both with exact ANSI-SQL equivalents so
+Four declarative match semantics, all with exact ANSI-SQL equivalents so
 the driver gate hash-checks them against DuckDB (no goldens needed):
 
 * ``match_contiguous`` — MATCH_RECOGNIZE's simplest PATTERN (A B C ...)
@@ -17,6 +17,14 @@ the driver gate hash-checks them against DuckDB (no goldens needed):
   funnel semantics. Compiles to per-key sorted step arrays + array
   binary pruning (F.filter/F.get) — one groupBy shuffle + one
   co-partitioned join, zero per-row Python.
+* ``match_absence`` — the negation pattern (``A NOT B`` within T /
+  Flink's notFollowedBy): a value-based RANGE frame counts absent-type
+  events in (ts, ts+T] per anchor — one exchange, one sort, no joins;
+  the oracle is an independently-formulated correlated NOT EXISTS.
+* ``match_kleene`` — iteration (``A B+ C`` over consecutive events):
+  the variable-length middle lead() cannot express, compiled
+  gaps-and-islands style (last non-B attributes over an UNBOUNDED
+  PRECEDING frame) — one exchange, two window passes, no joins.
 
 Both order events by (ts, event_id) — the total order the SQL oracle
 uses — and do window arithmetic on raw microsecond timestamps (truncated
@@ -165,3 +173,127 @@ def _after(prev: Column):
         return x > prev
 
     return _f
+
+
+def match_absence(
+    df: DataFrame,
+    first: str,
+    absent: str,
+    within_s: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Negation pattern (MATCH_RECOGNIZE's ``A NOT B`` / Flink CEP
+    ``notFollowedBy``): one row per ``first``-type event with NO
+    ``absent``-type event for the same key in the half-open window
+    ``(ts, ts + within_s]`` — abandonment detection (a view never
+    followed by a purchase), timeout alerting (a request with no
+    response), the canonical absence queries.
+
+    Plan: a value-based RANGE frame over raw microsecond timestamps —
+    ``count(absent) OVER (PARTITION BY key ORDER BY unix_micros(ts)
+    RANGE BETWEEN 1 FOLLOWING AND within_us FOLLOWING)`` — so
+    microsecond ties are excluded by VALUE (strictly-later contract,
+    same as match_funnel), never by row position. ONE exchange on the
+    key + one sort, zero joins; the oracle is an independent
+    formulation (correlated NOT EXISTS).
+
+    Output: (key, anchor_id, t0_s), the anchors where the count is 0.
+    """
+    within_us = int(within_s) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(1, within_us)
+    )
+    n_absent = F.count(F.when(F.col(type_col) == absent, F.lit(1))).over(w)
+    return (
+        df.select(key_col, ts_col, type_col, id_col)
+        .withColumn("_n_absent", n_absent)
+        .where((F.col(type_col) == first) & (F.col("_n_absent") == 0))
+        .select(
+            F.col(key_col),
+            F.col(id_col).alias("anchor_id"),
+            epoch_seconds(F.col(ts_col)).alias("t0_s"),
+        )
+    )
+
+
+def match_kleene(
+    df: DataFrame,
+    pattern: tuple[str, str, str],
+    within_s: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Iteration pattern ``A B+ C`` over CONSECUTIVE events per key
+    (MATCH_RECOGNIZE ``PATTERN (A B+ C)``): an anchor of type ``a``,
+    immediately followed by ONE OR MORE events of type ``b``, then one
+    of type ``c``, the whole run inside ``within_s`` seconds. The
+    variable-length middle is what lead()-compilation (match_contiguous)
+    cannot express — this is the gaps-and-islands compilation instead.
+
+    Plan: row_number per key in (ts, id) order, then ONE window pass
+    computing, for every event, the row number / type / ts / id of the
+    most recent NON-``b`` event strictly before it
+    (``last(when(type != b, ...), ignorenulls) ROWS UNBOUNDED PRECEDING
+    .. 1 PRECEDING``). A ``c`` event matches iff that event has type
+    ``a`` and sits ``n_b + 1`` rows back with ``n_b >= 1`` — every event
+    between them is a ``b`` by construction. Two window passes over one
+    exchange on the key, zero joins.
+
+    Output: (key, anchor_id, n_b, t0_s, t_end_s, span_s).
+    """
+    a_ty, b_ty, c_ty = pattern
+    w_rn = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy("_rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_b = F.col(type_col) != b_ty
+
+    def _last(col: str) -> Column:
+        return F.last(col, ignorenulls=True).over(w_prev)
+
+    # project the when() inputs FIRST so all four last() expressions share
+    # one Window node (interleaved Projects would split them into four)
+    pre = (
+        df.select(key_col, ts_col, type_col, id_col)
+        .withColumn("_rn", F.row_number().over(w_rn))
+        .select(
+            "*",
+            F.when(non_b, F.col("_rn")).alias("_c_rn"),
+            F.when(non_b, F.col(type_col)).alias("_c_ty"),
+            F.when(non_b, F.col(ts_col)).alias("_c_ts"),
+            F.when(non_b, F.col(id_col)).alias("_c_id"),
+        )
+    )
+    out = pre.select(
+        key_col,
+        ts_col,
+        type_col,
+        "_rn",
+        _last("_c_rn").alias("_nc_rn"),
+        _last("_c_ty").alias("_nc_ty"),
+        _last("_c_ts").alias("_nc_ts"),
+        _last("_c_id").alias("_nc_id"),
+    ).withColumn("n_b", (F.col("_rn") - 1 - F.col("_nc_rn")).cast("long"))
+    return out.where(
+        (F.col(type_col) == c_ty)
+        & (F.col("_nc_ty") == a_ty)
+        & (F.col("n_b") >= 1)
+        & (F.col(ts_col) <= F.col("_nc_ts") + _interval_seconds(within_s))
+    ).select(
+        F.col(key_col),
+        F.col("_nc_id").alias("anchor_id"),
+        "n_b",
+        epoch_seconds(F.col("_nc_ts")).alias("t0_s"),
+        epoch_seconds(F.col(ts_col)).alias("t_end_s"),
+        (epoch_seconds(F.col(ts_col)) - epoch_seconds(F.col("_nc_ts"))).alias("span_s"),
+    )

@@ -222,6 +222,58 @@ def audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity detection (round 5): per clip,
+    which 100 ms frames carry speech energy and how many contiguous
+    speech SEGMENTS the clip splits into — the segmentation stage an ASR
+    pipeline runs before transcribing (drop silence, chunk on pauses).
+
+    A frame is speech iff frame_rms > max(0.1 * clip_max_rms, 1e-4) —
+    gain-relative with an absolute noise floor. Segments are rising
+    edges in frame_idx order (lag window). The whole operator is pure
+    Catalyst over the decode explode: one exchange on clip_id shared by
+    the max-window, the lag-window, and the final groupBy (the window's
+    hash partitioning satisfies the aggregate's distribution).
+
+    Oracle: the same windowed SQL in DuckDB over golden_frames.parquet —
+    the generation-time INDEPENDENT decode's frame table — so the gate
+    crosses both the decode and the segmentation logic. frame_rms is
+    round-6 on both sides, so threshold comparisons are on identical
+    doubles.
+    """
+    from pyspark.sql import Window
+
+    from dataflow_geobeam_spark.functions.audio import explode_frames
+    from dataflow_geobeam_spark.functions.decode import with_decoded_pcm
+
+    fx = ensure_fixtures(sf_dir)
+    df = read_clips(spark, fx).where(precheck_predicate())
+    pcm = with_decoded_pcm(df.select("clip_id", "bytes", "codec", "sr_hz")).where(
+        "pcm IS NOT NULL"
+    )
+    frames = explode_frames(pcm, frame_ms=100, hop_ms=50).select(
+        "clip_id", "frame_idx", "frame_rms"
+    )
+    w_clip = Window.partitionBy("clip_id")
+    w_ord = Window.partitionBy("clip_id").orderBy("frame_idx")
+    flagged = frames.withColumn(
+        "_speech",
+        F.col("frame_rms")
+        > F.greatest(F.max("frame_rms").over(w_clip) * 0.1, F.lit(1e-4)),
+    ).withColumn(
+        "_rising",
+        F.col("_speech") & ~F.coalesce(F.lag("_speech").over(w_ord), F.lit(False)),
+    )
+    return flagged.groupBy("clip_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.col("_speech").cast("long")).alias("n_speech"),
+        F.round(
+            F.sum(F.col("_speech").cast("long")) / F.count(F.lit(1)), 6
+        ).alias("speech_ratio"),
+        F.sum(F.col("_rising").cast("long")).alias("n_segments"),
+    )
+
+
 def audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip FFT features (centroid / bandwidth / rolloff Hz) — decode +
     rfft in one mapInArrow pass (functions/audio.with_spectral_metrics).
@@ -337,5 +389,30 @@ def audio_mel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "clip_id",
             *[F.col("mel_mean")[i].alias(f"m{i:02d}") for i in range(MEL_N)],
+        )
+    )
+
+
+def audio_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASR cepstral features (round 5): decode + 16 kHz resample +
+    log-mel + per-frame DCT-II + per-clip mean, all in ONE mapInArrow
+    pass (functions/audio.with_mfcc_means) — the final stage of the
+    classic MFCC feature chain, completing
+    decode -> resample -> log-mel -> cepstrum.
+
+    Oracle: generation-time golden via the independent per-frame
+    scalar-loop mirror (fixtures/independent.mfcc_mean) — the DCT basis
+    is the one shared elementwise expression, every fold is specified
+    left-to-right, so the 13 doubles are bit-exact."""
+    from dataflow_geobeam_spark.functions.audio import MFCC_N, with_mfcc_means
+
+    fx = ensure_fixtures(sf_dir)
+    df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
+    return (
+        with_mfcc_means(df)
+        .where(F.col("mfcc_mean").isNotNull())
+        .select(
+            "clip_id",
+            *[F.col("mfcc_mean")[i].alias(f"c{i:02d}") for i in range(MFCC_N)],
         )
     )

@@ -269,6 +269,31 @@ def events_pattern_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_contiguous(ev, ["view", "click", "purchase"], within_s=7 * 86400)
 
 
+def events_pattern_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP negation pattern (round 5): views NOT followed by a purchase
+    by the same user within 1 hour — abandonment detection via a
+    value-based RANGE frame over microsecond timestamps (one exchange,
+    zero joins; operators/cep.match_absence). Oracle: an INDEPENDENT
+    formulation — correlated NOT EXISTS in DuckDB."""
+    from dataflow_geobeam_spark.operators.cep import match_absence
+
+    ev = _t(spark, sf_dir, "events")
+    return match_absence(ev, first="view", absent="purchase", within_s=3600)
+
+
+def events_pattern_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP iteration pattern (round 5): view -> click+ -> purchase over
+    CONSECUTIVE events per user within 7 days (PATTERN (A B+ C)) — the
+    variable-length middle compiled gaps-and-islands style, one
+    exchange + two window passes, zero joins
+    (operators/cep.match_kleene). Oracle: the same islands logic as
+    layered ANSI window CTEs in DuckDB."""
+    from dataflow_geobeam_spark.operators.cep import match_kleene
+
+    ev = _t(spark, sf_dir, "events")
+    return match_kleene(ev, ("view", "click", "purchase"), within_s=7 * 86400)
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP skip-till-next funnel (round 5): for every signup, the
     earliest later view, then the earliest later purchase, completed

@@ -1,10 +1,14 @@
-"""Streaming CEP: watermark-correct contiguous-pattern matching.
+"""Streaming CEP: watermark-correct pattern matching.
 
 ``match_contiguous_stream`` is the streaming form of
 ``operators/cep.match_contiguous`` (PATTERN (A B C …) over CONSECUTIVE
-events per key, bounded by a time window), built on
-``applyInPandasWithState`` with event-time timeouts — the same stateful
-machinery as the clip<->transcript join (``streaming/join.py``).
+events per key, bounded by a time window) and ``match_absence_stream``
+the streaming form of ``operators/cep.match_absence`` (negation /
+timeout alerting — the pattern that NEEDS event-time timers, because
+the interesting case is exactly the one where no further input arrives
+for the key). Both are built on ``applyInPandasWithState`` with
+event-time timeouts — the same stateful machinery as the
+clip<->transcript join (``streaming/join.py``).
 
 Correctness under late data: an anchor's match outcome depends only on
 events with ``ts <= anchor_ts + within`` (later events cannot sit
@@ -133,6 +137,114 @@ def match_contiguous_stream(
     ).applyInPandasWithState(
         _make_fn(list(pattern), within_s),
         outputStructType=_out_schema(k),
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _make_absence_fn(first: str, absent: str, within_s: int):
+    within_us = within_s * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        if state.exists:
+            ts_l, id_l, ty_l = state.get
+            buf = list(zip(ts_l, id_l, ty_l))
+        else:
+            buf = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for row in pdf.itertuples(index=False):
+                    buf.append(
+                        (
+                            int(pd.Timestamp(row.ts).value // 1000),
+                            int(row.event_id),
+                            str(row.event_type),
+                        )
+                    )
+        buf.sort()
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        rows = []
+        keep_from = 0
+        for i, (ts_us, eid, ty) in enumerate(buf):
+            if ts_us + within_us >= wm_us:
+                break  # not finalized yet (and neither is any later entry)
+            keep_from = i + 1
+            if ty != first:
+                continue
+            # cleared iff ANY absent-type event lands in the half-open
+            # VALUE window (ts, ts + within] — scan forward over the
+            # sorted, horizon-bounded buffer
+            cleared = False
+            for ts2, _eid2, ty2 in buf[i + 1 :]:
+                if ts2 > ts_us + within_us:
+                    break
+                if ty2 == absent and ts2 > ts_us:
+                    cleared = True
+                    break
+            if not cleared:
+                rows.append((int(key[0]), eid, ts_us // 1_000_000))
+        buf = buf[keep_from:]
+        if buf:
+            state.update(
+                ([b[0] for b in buf], [b[1] for b in buf], [b[2] for b in buf])
+            )
+            desired_ms = buf[0][0] // 1000 + within_s * 1000 + 1000
+            state.setTimeoutTimestamp(max(desired_ms, wm_ms + 1000))
+        else:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "anchor_id", "t0_s"])
+
+    return fn
+
+
+def match_absence_stream(
+    events: DataFrame,
+    first: str,
+    absent: str,
+    within_s: int,
+) -> DataFrame:
+    """Streaming negation matcher — the timeout-alert pattern (a request
+    with no response within T, a view never followed by a purchase):
+    emits (user_id, anchor_id, t0_s) for every ``first``-type event with
+    NO ``absent``-type event in the value window (ts, ts+T], exactly
+    once, when the watermark finalizes the anchor
+    (``watermark > ts + within_s`` — by then no admissible event can
+    clear it).
+
+    Same state discipline as ``match_contiguous_stream``: per-key sorted
+    buffer bounded by one ``within`` horizon, finalized-prefix eviction
+    (an absent-type event that could still clear an unfinalized anchor
+    is necessarily unfinalized itself, so eviction never loses a
+    clearer), and an event-time timeout so silence — the very thing the
+    pattern detects — still flushes the key when the watermark advances.
+    Output equals the batch ``operators/cep.match_absence`` over the
+    delivered (non-late) events; pinned by tests/test_round5b.py."""
+    state_schema = StructType(
+        [
+            StructField("ts_us", _long_array(), True),
+            StructField("ids", _long_array(), True),
+            StructField("types", _str_array(), True),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("anchor_id", LongType(), False),
+            StructField("t0_s", LongType(), False),
+        ]
+    )
+    return events.select("user_id", "event_id", "ts", "event_type").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _make_absence_fn(first, absent, within_s),
+        outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,

@@ -1,0 +1,343 @@
+"""Round-5 breadth additions: MFCC cepstral features (bit-exact vs the
+independent scalar-loop mirror), energy-threshold VAD segmentation, and
+the two new CEP match semantics (absence / negation and Kleene-plus
+iteration) — semantics pinned on hand-built sequences, plan shapes
+pinned window-only, and cross-checked against DuckDB formulations that
+differ from the engine's compilation (NOT EXISTS vs RANGE frame).
+
+Reference parity: the reference (Beam ingestion glue) has no feature
+extraction or CEP surface; this is north-rule scope
+(``BASELINE.json: north_star``, "structured-streaming/CEP engine").
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# MFCC: engine kernel == independent mirror, bit for bit
+# ---------------------------------------------------------------------------
+
+
+def test_mfcc_bit_identical_and_edges(spark):
+    from dataflow_geobeam_spark.audio_synth import synth_pcm
+    from dataflow_geobeam_spark.fixtures import independent as ind
+    from dataflow_geobeam_spark.functions.audio import (
+        MFCC_N,
+        mfcc_mean_np,
+        with_mfcc_means,
+    )
+
+    for i, sr, dur in [(2, 8000, 900), (4, 44100, 2500), (6, 22050, 333)]:
+        p = synth_pcm(i, sr, dur)
+        got, want = mfcc_mean_np(p, sr), ind.mfcc_mean(p, sr)
+        assert got is not None and want is not None
+        assert np.array_equal(got, want)  # bit-exact, no tolerance
+        assert got.shape == (MFCC_N,)
+    # sub-frame clip (< 25 ms at 16 kHz) -> None / NULL row
+    assert mfcc_mean_np(synth_pcm(9, 16000, 20), 16000) is None
+    pcm = synth_pcm(3, 8000, 500)
+    rows = [
+        ("a", ind.encode(pcm, 8000, "wav"), "wav", 8000),
+        ("b", ind.encode(synth_pcm(9, 16000, 20), 16000, "wav"), "wav", 16000),
+        ("c", b"junk", "wav", 8000),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    got = {r.clip_id: r.mfcc_mean for r in with_mfcc_means(df).collect()}
+    assert got["a"] is not None and len(got["a"]) == MFCC_N
+    assert got["b"] is None and got["c"] is None
+
+
+def test_mfcc_c0_is_scaled_logmel_sum():
+    """DCT-II at k=0 has an all-ones basis row, so c0 must equal the sum
+    of the mean log-mel vector (cross-kernel consistency, catches basis
+    indexing slips)."""
+    from dataflow_geobeam_spark.audio_synth import synth_pcm
+    from dataflow_geobeam_spark.functions.audio import mel_mean_np, mfcc_mean_np
+
+    p = synth_pcm(7, 16000, 700)
+    mel, mfcc = mel_mean_np(p, 16000), mfcc_mean_np(p, 16000)
+    assert abs(mfcc[0] - mel.sum()) < 1e-9 * max(1.0, abs(mel.sum()))
+
+
+# ---------------------------------------------------------------------------
+# CEP absence (negation) semantics
+# ---------------------------------------------------------------------------
+
+
+def _ev_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+
+
+def test_match_absence_semantics(spark):
+    """Pins the (ts, ts+T] half-open window: a same-microsecond B does
+    NOT clear the absence; a B exactly at ts+T DOES; a B after ts+T does
+    not."""
+    from dataflow_geobeam_spark.operators.cep import match_absence
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, 10, t0, "A"),                      # B at +30 inside window -> cleared
+        (1, 11, t0 + 30 * s, "B"),
+        (2, 20, t0, "A"),                      # B exactly at +60 (== T) -> cleared
+        (2, 21, t0 + 60 * s, "B"),
+        (3, 30, t0, "A"),                      # B at +61 (> T) -> ABSENT
+        (3, 31, t0 + 61 * s, "B"),
+        (4, 40, t0, "A"),                      # same-ts B only -> ABSENT (strictly after)
+        (4, 41, t0, "B"),
+        (5, 50, t0, "A"),                      # no B at all -> ABSENT
+        (6, 60, t0, "B"),                      # B alone is not an anchor
+    ]
+    got = {
+        (r.user_id, r.anchor_id)
+        for r in match_absence(_ev_df(spark, rows), "A", "B", within_s=60).collect()
+    }
+    assert got == {(3, 30), (4, 40), (5, 50)}
+
+
+def test_match_kleene_semantics(spark):
+    """Pins A B+ C over consecutive events: >=1 B required, run must be
+    unbroken, n_b counted, window bound on the whole span."""
+    from dataflow_geobeam_spark.operators.cep import match_kleene
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, 10, t0, "A"), (1, 11, t0 + s, "B"), (1, 12, t0 + 2 * s, "C"),
+        # user 2: three Bs
+        (2, 20, t0, "A"), (2, 21, t0 + s, "B"), (2, 22, t0 + 2 * s, "B"),
+        (2, 23, t0 + 3 * s, "B"), (2, 24, t0 + 4 * s, "C"),
+        # user 3: zero Bs -> no match
+        (3, 30, t0, "A"), (3, 31, t0 + s, "C"),
+        # user 4: run broken by x -> no match
+        (4, 40, t0, "A"), (4, 41, t0 + s, "B"),
+        (4, 42, t0 + 2 * s, "x"), (4, 43, t0 + 3 * s, "C"),
+        # user 5: valid shape but C lands outside the window
+        (5, 50, t0, "A"), (5, 51, t0 + s, "B"), (5, 52, t0 + 120 * s, "C"),
+        # user 6: B+ C with no A anchor before the run
+        (6, 60, t0, "x"), (6, 61, t0 + s, "B"), (6, 62, t0 + 2 * s, "C"),
+    ]
+    out = match_kleene(_ev_df(spark, rows), ("A", "B", "C"), within_s=60).collect()
+    got = {(r.user_id, r.anchor_id, r.n_b, r.span_s) for r in out}
+    assert got == {(1, 10, 1, 2), (2, 20, 3, 4)}
+
+
+def test_absence_kleene_plan_shapes(spark):
+    """Both new CEP operators must stay window-only: exactly one shuffle
+    exchange on the key, zero joins."""
+    from dataflow_geobeam_spark.operators.cep import match_absence, match_kleene
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for n_windows, df in (
+        (1, match_absence(ev, "view", "purchase", 3600)),
+        (2, match_kleene(ev, ("view", "click", "purchase"), 7 * 86400)),
+    ):
+        df.collect()
+        # the executed string includes AQE's "Initial Plan" echo — count in
+        # the final section only
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "Join" not in plan and "CartesianProduct" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        # kleene: row_number window + ONE fused last() window over the same
+        # exchange (+1 for the four last()s collapsing; a regression to one
+        # Window node per last() would show 6)
+        assert plan.count("Window [") <= n_windows
+
+
+def test_absence_kleene_vs_duckdb(spark):
+    """Cross-engine check at sf0.001 with INDEPENDENT formulations:
+    DuckDB runs NOT EXISTS (absence) and the layered-CTE islands SQL
+    (kleene) while the engine runs RANGE-frame / last-ignorenulls
+    compilations."""
+    import duckdb
+
+    from dataflow_geobeam_spark.operators.cep import match_absence, match_kleene
+
+    pq = "/root/testdata/sf0.001/events.parquet"
+    ev = spark.read.parquet(pq)
+    con = duckdb.connect()
+
+    got_a = {
+        (r.user_id, r.anchor_id, r.t0_s)
+        for r in match_absence(ev, "view", "purchase", 3600).collect()
+    }
+    want_a = set(
+        con.execute(
+            f"""
+            SELECT e1.user_id, e1.event_id,
+                   CAST(floor(epoch(e1.ts)) AS BIGINT)
+            FROM read_parquet('{pq}') e1
+            WHERE e1.event_type = 'view' AND NOT EXISTS (
+              SELECT 1 FROM read_parquet('{pq}') e2
+              WHERE e2.user_id = e1.user_id AND e2.event_type = 'purchase'
+                AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 3600 SECOND)
+            """
+        ).fetchall()
+    )
+    assert got_a == want_a and got_a
+
+    got_k = {
+        (r.user_id, r.anchor_id, r.n_b, r.t0_s, r.t_end_s, r.span_s)
+        for r in match_kleene(ev, ("view", "click", "purchase"), 7 * 86400).collect()
+    }
+    want_k = set(
+        con.execute(
+            f"""
+            WITH r AS (
+              SELECT user_id, event_id, ts, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM read_parquet('{pq}')
+            ), o AS (
+              SELECT user_id, event_id, ts, event_type, rn,
+                     max(CASE WHEN event_type <> 'click' THEN rn END)
+                       OVER wp AS nc_rn,
+                     last_value(CASE WHEN event_type <> 'click'
+                                     THEN event_type END IGNORE NULLS)
+                       OVER wp AS nc_ty,
+                     last_value(CASE WHEN event_type <> 'click'
+                                     THEN ts END IGNORE NULLS) OVER wp AS nc_ts,
+                     last_value(CASE WHEN event_type <> 'click'
+                                     THEN event_id END IGNORE NULLS) OVER wp AS nc_id
+              FROM r
+              WINDOW wp AS (PARTITION BY user_id ORDER BY rn
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT user_id, nc_id, CAST(rn - 1 - nc_rn AS BIGINT),
+                   CAST(floor(epoch(nc_ts)) AS BIGINT),
+                   CAST(floor(epoch(ts)) AS BIGINT),
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(nc_ts)) AS BIGINT)
+            FROM o
+            WHERE event_type = 'purchase' AND nc_ty = 'view'
+              AND rn - 1 - nc_rn >= 1
+              AND ts <= nc_ts + INTERVAL 604800 SECOND
+            """
+        ).fetchall()
+    )
+    assert got_k == want_k
+
+
+# ---------------------------------------------------------------------------
+# VAD segmentation
+# ---------------------------------------------------------------------------
+
+
+def test_vad_matches_python_recompute(spark, sf_dir):
+    """audio_vad's windowed flags/edges recomputed row-by-row in plain
+    Python from the (independently golden-gated) frame table must agree
+    exactly."""
+    from dataflow_geobeam_spark.plans.audio import audio_frame_rms, audio_vad
+
+    frames = audio_frame_rms(spark, sf_dir).collect()
+    by_clip: dict[str, list] = {}
+    for r in frames:
+        by_clip.setdefault(r.clip_id, []).append((r.frame_idx, r.frame_rms))
+    want = {}
+    for cid, fr in by_clip.items():
+        fr.sort()
+        thresh = max(0.1 * max(v for _, v in fr), 1e-4)
+        flags = [v > thresh for _, v in fr]
+        n_seg = sum(
+            1 for i, f in enumerate(flags) if f and (i == 0 or not flags[i - 1])
+        )
+        n_speech = sum(flags)
+        want[cid] = (
+            len(flags),
+            n_speech,
+            float(np.floor(n_speech / len(flags) * 1e6 + 0.5) / 1e6),
+            n_seg,
+        )
+    got = {
+        r.clip_id: (r.n_frames, r.n_speech, r.speech_ratio, r.n_segments)
+        for r in audio_vad(spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+
+def test_vad_plan_single_exchange(spark, sf_dir):
+    """The max-window, lag-window, and final groupBy must all ride ONE
+    exchange on clip_id (the window's hash partitioning satisfies the
+    aggregate) — no second shuffle, no join."""
+    from dataflow_geobeam_spark.plans.audio import audio_vad
+
+    df = audio_vad(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# streaming absence matcher == batch operator on the finalizable subset
+# ---------------------------------------------------------------------------
+
+
+def test_match_absence_stream_equals_batch(spark, tmp_path):
+    """Streaming negation CEP vs the (oracle-gated) batch operator: the
+    events table streamed as 4 time-ordered files with a 1-hour
+    watermark delay must emit exactly the batch absences whose anchors
+    FINALIZE under the final watermark (wm > anchor_ts + within) —
+    including anchors flushed purely by the event-time timeout (absence
+    means no further rows arrive for the key)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as apq
+
+    from dataflow_geobeam_spark.operators.cep import match_absence
+    from dataflow_geobeam_spark.streaming.cep import match_absence_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    first, absent, within_s = "view", "purchase", 6 * 3600
+    t = apq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    idx = pa.compute.sort_indices(
+        t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    )
+    t = t.take(idx)
+    stream_dir = tmp_path / "ev_stream_abs"
+    stream_dir.mkdir()
+    n = t.num_rows
+    per = (n + 3) // 4
+    for f in range(4):
+        apq.write_table(t.slice(f * per, per), str(stream_dir / f"part-{f:04d}.parquet"))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+        .withWatermark("ts", "1 hour")
+    )
+    out = match_absence_stream(stream, first, absent, within_s)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cep_absence_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        tuple(r) for r in spark.sql("select * from cep_absence_stream_test").collect()
+    }
+
+    max_ts = pa.compute.max(t.column("ts")).as_py()
+    wm_s = int((max_ts - dt.timedelta(hours=1)).timestamp())
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = {
+        tuple(r)
+        for r in match_absence(ev, first, absent, within_s).collect()
+        if r.t0_s + within_s < wm_s
+    }
+    assert got == batch and len(batch) > 0
