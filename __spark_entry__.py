@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample_16k": audio.audio_resample_16k,
         "audio_mel_features": audio.audio_mel_features,
         "audio_mfcc": audio.audio_mfcc,
+        "pipeline_clean_asr_corpus": audio.pipeline_clean_asr_corpus,
         # --- relational operator coverage (SURVEY.md §2.4) ---
         "tpch_q1_pricing_summary": relational.q1_pricing_summary_rounded,
         "tpch_q6_forecast_revenue": relational.q6_rounded,
@@ -492,6 +493,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT clip_id,
                    {", ".join(f"mfcc_mean[{i + 1}] AS c{i:02d}" for i in range(13))}
             FROM read_parquet('{FIXTURES_SF01}/golden_mfcc.parquet')
+        """,
+        "pipeline_clean_asr_corpus": f"""
+            WITH scored AS (
+              SELECT clip_id, dur_ms, trim(transcript) AS t_norm,
+                     round(length(trim(transcript))
+                           / (dur_ms / 1000.0), 6) AS chars_per_s
+              FROM {_GOLDEN}
+              WHERE decode_ok
+                AND dur_ms BETWEEN 300 AND 30000
+                AND round(rms, 6) > 1e-4
+                AND round(peak, 6) <= 0.999
+                AND length(trim(transcript)) > 0
+                AND round(length(trim(transcript))
+                          / (dur_ms / 1000.0), 6) BETWEEN 0.5 AND 60.0
+            ), survivors AS (
+              SELECT t_norm, min(clip_id) AS clip_id,
+                     CAST(count(*) AS BIGINT) AS n_copies
+              FROM scored GROUP BY t_norm
+            )
+            SELECT s.clip_id, s.n_copies, k.dur_ms, k.chars_per_s
+            FROM survivors s JOIN scored k USING (clip_id)
         """,
         "dedup_exact_transcripts": f"""
             SELECT t_clip_id AS clip_id, CAST(count(*) AS BIGINT) AS n_copies

@@ -157,6 +157,60 @@ def audio_clip_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_clean_asr_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ASR training-corpus cleaning (round 5) — the audio
+    analog of pipeline_clean_corpus, composed from verified pieces:
+    decode census -> audio quality rules -> label-quality screening ->
+    exact transcript dedup.
+
+    Keep rules (each a real crawl-corpus failure mode): decode_ok
+    (undecodable payload), 300 ms <= dur_ms <= 30 s (fragments /
+    runaways), round-6 rms > 1e-4 (silent clip), round-6 peak <= 0.999
+    (clipped recording), non-empty trimmed transcript (unlabeled), and
+    speaking rate 0.5..60 chars/s (mislabeled pairs — a 2 s clip with a
+    500-char transcript is a misalignment, the CER-proxy screen).
+    Thresholds compare ROUND-6 metrics on both engines so boundary rows
+    cannot flip on final-ULP differences.
+
+    Plan shape at scale: one clips scan + one mapInArrow decode pass,
+    row-local rule evaluation, then ONE shuffle keyed by the trimmed
+    transcript for the dedup aggregate (keep the lowest clip_id per
+    group). Output: one row per surviving clip with its duplicate-group
+    size and speaking rate.
+
+    Oracle: the identical rule SQL in DuckDB over golden_clips.parquet —
+    the generation-time INDEPENDENT decode — so the gate crosses decode,
+    rules, and dedup at once.
+    """
+    fx = ensure_fixtures(sf_dir)
+    df = with_decoded_metrics(read_clips(spark, fx))
+    scored = df.select(
+        "clip_id",
+        "dur_ms",
+        F.trim("transcript").alias("t_norm"),
+        "decode_ok",
+        F.round("rms", 6).alias("rms6"),
+        F.round("peak", 6).alias("peak6"),
+    ).withColumn(
+        "chars_per_s",
+        F.round(F.length("t_norm") / (F.col("dur_ms") / 1000.0), 6),
+    )
+    kept = scored.where(
+        F.col("decode_ok")
+        & F.col("dur_ms").between(300, 30000)
+        & (F.col("rms6") > 1e-4)
+        & (F.col("peak6") <= 0.999)
+        & (F.length("t_norm") > 0)
+        & F.col("chars_per_s").between(0.5, 60.0)
+    )
+    survivors = kept.groupBy("t_norm").agg(
+        F.min("clip_id").alias("clip_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return survivors.join(
+        kept.select("clip_id", "dur_ms", "chars_per_s"), "clip_id"
+    ).select("clip_id", "n_copies", "dur_ms", "chars_per_s")
+
+
 def audio_transcript_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch form of the clip<->late-transcript interval join: a transcript
     matches iff it arrives within [ts, ts + 5 min] of its clip's event time.
