@@ -57,6 +57,39 @@ ANNOTATED = {
         "Catalyst md5() on the kernel's binary output, no shuffle — "
         "row-local kernel over the clips scan."
     ),
+    "events_pattern_absence": (
+        "CEP negation matcher (round 5b). Expect: ONE Exchange on "
+        "user_id + Sort + Window with a VALUE-based RangeFrame over "
+        "unix_micros(ts) (count of absent-type events in (ts, ts+T]) + "
+        "Filter — zero joins; the NOT EXISTS semantics compiled to one "
+        "window pass."
+    ),
+    "events_pattern_kleene": (
+        "CEP Kleene-plus matcher (round 5b), PATTERN (A B+ C). Expect: "
+        "ONE Exchange on user_id, a row_number Window, then ONE fused "
+        "Window carrying all four last(..., ignorenulls) exprs over the "
+        "UNBOUNDED PRECEDING frame (the pre-projected CASE inputs keep "
+        "Catalyst from splitting it) — gaps-and-islands with zero joins."
+    ),
+    "audio_vad": (
+        "VAD segmentation (round 5b). Expect: MapInArrow decode + "
+        "posexplode, then the max-Window, lag-Window, and final "
+        "HashAggregate all riding ONE Exchange on clip_id (window hash "
+        "partitioning satisfies the aggregate's distribution) — pure "
+        "Catalyst after the decode kernel."
+    ),
+    "audio_mfcc": (
+        "MFCC cepstra (round 5b). Expect: ONE MapInArrow node (decode + "
+        "resample + log-mel + DCT-II + frame mean in a single Arrow "
+        "pass), projection of 13 array elements, no shuffle."
+    ),
+    "pipeline_clean_asr_corpus": (
+        "ASR corpus-prep composite (round 5b). Expect: one clips scan + "
+        "one MapInArrow decode pass, row-local rule Filter, partial+final "
+        "HashAggregate keyed by the trimmed transcript (the dedup "
+        "shuffle), and ONE join back of survivors to kept rows (AQE "
+        "broadcasts at this SF; both sides key-partition at scale)."
+    ),
     "audio_near_dups": (
         "Audio fingerprint near-dup (round 5). Expect: ONE decode+FFT+hash "
         "MapInArrow pass materialized by localCheckpoint (3 consumers: "
