@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pattern_contiguous": relational.events_pattern_contiguous,
         "events_pattern_absence": relational.events_pattern_absence,
         "events_pattern_kleene": relational.events_pattern_kleene,
+        "events_match_recognize": relational.events_match_recognize,
         "events_funnel": relational.events_funnel,
         "top_customers": relational.top_customers_by_revenue,
         "order_percentiles": relational.order_price_percentiles,
@@ -743,6 +744,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type = 'purchase' AND nc_ty = 'view'
               AND rn - 1 - nc_rn >= 1
               AND ts <= nc_ts + INTERVAL 604800 SECOND
+        """,
+        "events_match_recognize": """
+            WITH r AS (
+              SELECT user_id, event_id, ts, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            )
+            SELECT c.user_id, a.event_id AS anchor_id,
+                   CAST(c.rn - a.rn - 1 AS BIGINT) AS n_b,
+                   CAST(floor(epoch(a.ts)) AS BIGINT) AS t0_s,
+                   CAST(floor(epoch(c.ts)) AS BIGINT) AS t_end_s,
+                   CAST(floor(epoch(c.ts)) AS BIGINT)
+                     - CAST(floor(epoch(a.ts)) AS BIGINT) AS span_s
+            FROM r c JOIN r a
+              ON a.user_id = c.user_id AND a.rn < c.rn - 1
+            WHERE c.event_type = 'purchase' AND c.value >= 30.0
+              AND a.event_type = 'view'
+              AND NOT EXISTS (SELECT 1 FROM r m
+                              WHERE m.user_id = c.user_id
+                                AND m.rn > a.rn AND m.rn < c.rn
+                                AND m.event_type <> 'click')
+              AND c.ts <= a.ts + INTERVAL 604800 SECOND
         """,
         "events_funnel": """
             WITH anchors AS (

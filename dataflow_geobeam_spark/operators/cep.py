@@ -49,6 +49,9 @@ surface at all; this is north-rule scope (``BASELINE.json: north_star``,
 
 from __future__ import annotations
 
+import re
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -59,6 +62,26 @@ def _interval_seconds(n: int) -> Column:
     return F.make_interval(secs=F.lit(int(n)))
 
 
+def _step_pred(
+    name: str, defines: dict[str, Column] | None, type_col: str
+) -> Column:
+    """Resolve a pattern-step name to a null-safe boolean predicate.
+
+    ``defines`` is the MATCH_RECOGNIZE DEFINE clause: name -> arbitrary
+    Column predicate (e.g. ``purchase := event_type = 'purchase' AND
+    value >= 5``). Undefined names default to type equality, so plain
+    string patterns keep their original meaning. Predicates are wrapped
+    in coalesce(, false): a NULL predicate (e.g. ``value > x`` on a NULL
+    value) must mean "step does not match", never poison a conjunction.
+    """
+    pred = (
+        defines[name]
+        if defines is not None and name in defines
+        else (F.col(type_col) == name)
+    )
+    return F.coalesce(pred, F.lit(False))
+
+
 def match_contiguous(
     df: DataFrame,
     pattern: list[str],
@@ -67,6 +90,7 @@ def match_contiguous(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    defines: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Match ``pattern`` over CONSECUTIVE events per key, with the whole
     run inside ``within_s`` seconds.
@@ -76,19 +100,35 @@ def match_contiguous(
     exactly the remaining pattern types and whose last timestamp is
     within the window. Epoch-second columns truncate like DuckDB's
     ``floor(epoch(ts))``; the window bound compares raw timestamps.
+
+    ``defines`` (round 5: the MATCH_RECOGNIZE DEFINE clause) maps a step
+    name to an arbitrary per-row predicate; steps not named fall back to
+    ``type_col == name``. The step predicates are evaluated BEFORE the
+    window pass (projected booleans), so lead() still carries one small
+    column per step and the plan stays one exchange + one sort + one
+    Window node.
     """
     if len(pattern) < 2:
         raise ValueError("pattern needs at least 2 steps")
     k = len(pattern)
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
-    out = df.select(key_col, ts_col, type_col, id_col)
+    out = df.select(
+        key_col,
+        ts_col,
+        type_col,
+        id_col,
+        *[
+            _step_pred(p, defines, type_col).alias(f"_m{i}")
+            for i, p in enumerate(pattern)
+        ],
+    )
     for i in range(1, k):
-        out = out.withColumn(f"_ty{i}", F.lead(type_col, i).over(w)).withColumn(
+        out = out.withColumn(f"_ok{i}", F.lead(f"_m{i}", i).over(w)).withColumn(
             f"_ts{i}", F.lead(ts_col, i).over(w)
         )
-    cond = F.col(type_col) == pattern[0]
+    cond = F.col("_m0")
     for i in range(1, k):
-        cond = cond & (F.col(f"_ty{i}") == pattern[i])
+        cond = cond & F.col(f"_ok{i}")
     cond = cond & (
         F.col(f"_ts{k - 1}") <= F.col(ts_col) + _interval_seconds(within_s)
     )
@@ -113,6 +153,7 @@ def match_funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    defines: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Skip-till-next-match funnel: for every ``pattern[0]`` event, take
     the EARLIEST strictly-later ``pattern[1]`` event, then the earliest
@@ -122,6 +163,10 @@ def match_funnel(
     Output: (key, anchor_id, t0_s .. t{k-1}_s, span_s). Strictly-later
     means raw-timestamp ``>`` (ties at identical microseconds are not
     taken — the SQL oracle's ``e2.ts > e1.ts`` contract).
+
+    ``defines`` (round 5) as in :func:`match_contiguous`: per-step
+    predicates folded into the collect_list filters and the anchor
+    filter — plan shape unchanged.
     """
     if len(pattern) < 2:
         raise ValueError("pattern needs at least 2 steps")
@@ -130,12 +175,14 @@ def match_funnel(
     arrs = df.groupBy(key_col).agg(
         *[
             F.sort_array(
-                F.collect_list(F.when(F.col(type_col) == p, F.col(ts_col)))
+                F.collect_list(
+                    F.when(_step_pred(p, defines, type_col), F.col(ts_col))
+                )
             ).alias(f"_a{i}")
             for i, p in enumerate(steps, start=1)
         ]
     )
-    anchors = df.where(F.col(type_col) == pattern[0]).select(
+    anchors = df.where(_step_pred(pattern[0], defines, type_col)).select(
         key_col, F.col(id_col).alias("anchor_id"), F.col(ts_col).alias("_ts0")
     )
     j = anchors.join(arrs, key_col)
@@ -184,6 +231,7 @@ def match_absence(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    defines: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Negation pattern (MATCH_RECOGNIZE's ``A NOT B`` / Flink CEP
     ``notFollowedBy``): one row per ``first``-type event with NO
@@ -201,6 +249,9 @@ def match_absence(
     formulation (correlated NOT EXISTS).
 
     Output: (key, anchor_id, t0_s), the anchors where the count is 0.
+
+    ``defines`` (round 5) as in :func:`match_contiguous`: per-step
+    predicates replace the two type-equality tests.
     """
     within_us = int(within_s) * 1_000_000
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -209,11 +260,20 @@ def match_absence(
         .orderBy(us)
         .rangeBetween(1, within_us)
     )
-    n_absent = F.count(F.when(F.col(type_col) == absent, F.lit(1))).over(w)
+    # predicates are evaluated on the FULL input row (a DEFINE may read
+    # any column), then only the two booleans ride the window pass
+    n_absent = F.count(F.when(F.col("_m_absent"), F.lit(1))).over(w)
     return (
-        df.select(key_col, ts_col, type_col, id_col)
+        df.select(
+            key_col,
+            ts_col,
+            type_col,
+            id_col,
+            _step_pred(first, defines, type_col).alias("_m_first"),
+            _step_pred(absent, defines, type_col).alias("_m_absent"),
+        )
         .withColumn("_n_absent", n_absent)
-        .where((F.col(type_col) == first) & (F.col("_n_absent") == 0))
+        .where(F.col("_m_first") & (F.col("_n_absent") == 0))
         .select(
             F.col(key_col),
             F.col(id_col).alias("anchor_id"),
@@ -230,6 +290,7 @@ def match_kleene(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    defines: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Iteration pattern ``A B+ C`` over CONSECUTIVE events per key
     (MATCH_RECOGNIZE ``PATTERN (A B+ C)``): an anchor of type ``a``,
@@ -248,6 +309,12 @@ def match_kleene(
     exchange on the key, zero joins.
 
     Output: (key, anchor_id, n_b, t0_s, t_end_s, span_s).
+
+    ``defines`` (round 5) as in :func:`match_contiguous`: per-step
+    predicates are projected on the full input row first (``_ma/_mb/
+    _mc``), then only booleans flow through the two window passes — a
+    "non-b" row is one where the B predicate is false, and the island
+    anchor must satisfy the A predicate at its own row.
     """
     a_ty, b_ty, c_ty = pattern
     w_rn = Window.partitionBy(key_col).orderBy(ts_col, id_col)
@@ -256,7 +323,7 @@ def match_kleene(
         .orderBy("_rn")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    non_b = F.col(type_col) != b_ty
+    non_b = ~F.col("_mb")
 
     def _last(col: str) -> Column:
         return F.last(col, ignorenulls=True).over(w_prev)
@@ -264,12 +331,20 @@ def match_kleene(
     # project the when() inputs FIRST so all four last() expressions share
     # one Window node (interleaved Projects would split them into four)
     pre = (
-        df.select(key_col, ts_col, type_col, id_col)
+        df.select(
+            key_col,
+            ts_col,
+            type_col,
+            id_col,
+            _step_pred(a_ty, defines, type_col).alias("_ma"),
+            _step_pred(b_ty, defines, type_col).alias("_mb"),
+            _step_pred(c_ty, defines, type_col).alias("_mc"),
+        )
         .withColumn("_rn", F.row_number().over(w_rn))
         .select(
             "*",
             F.when(non_b, F.col("_rn")).alias("_c_rn"),
-            F.when(non_b, F.col(type_col)).alias("_c_ty"),
+            F.when(non_b, F.col("_ma")).alias("_c_a"),
             F.when(non_b, F.col(ts_col)).alias("_c_ts"),
             F.when(non_b, F.col(id_col)).alias("_c_id"),
         )
@@ -278,15 +353,16 @@ def match_kleene(
         key_col,
         ts_col,
         type_col,
+        "_mc",
         "_rn",
         _last("_c_rn").alias("_nc_rn"),
-        _last("_c_ty").alias("_nc_ty"),
+        _last("_c_a").alias("_nc_a"),
         _last("_c_ts").alias("_nc_ts"),
         _last("_c_id").alias("_nc_id"),
     ).withColumn("n_b", (F.col("_rn") - 1 - F.col("_nc_rn")).cast("long"))
     return out.where(
-        (F.col(type_col) == c_ty)
-        & (F.col("_nc_ty") == a_ty)
+        F.col("_mc")
+        & F.col("_nc_a")
         & (F.col("n_b") >= 1)
         & (F.col(ts_col) <= F.col("_nc_ts") + _interval_seconds(within_s))
     ).select(
@@ -296,4 +372,133 @@ def match_kleene(
         epoch_seconds(F.col("_nc_ts")).alias("t0_s"),
         epoch_seconds(F.col(ts_col)).alias("t_end_s"),
         (epoch_seconds(F.col(ts_col)) - epoch_seconds(F.col("_nc_ts"))).alias("span_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declarative pattern API (round 5): MATCH_RECOGNIZE-lite
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"^(!)?([A-Za-z_][A-Za-z0-9_]*)(\+)?$")
+
+
+@dataclass(frozen=True)
+class Step:
+    """One parsed pattern step: ``name`` (resolved via DEFINE or type
+    equality), ``quant`` in {'1', '+'}, ``negated`` for ``!name``."""
+
+    name: str
+    quant: str = "1"
+    negated: bool = False
+
+
+def parse_pattern(pattern: str) -> list[Step]:
+    """Parse a MATCH_RECOGNIZE-lite PATTERN string.
+
+    Grammar: whitespace-separated tokens; each token is ``name``,
+    ``name+`` (Kleene plus, one-or-more consecutive), or ``!name``
+    (negation / notFollowedBy). Examples::
+
+        "view click purchase"     -> strict sequence
+        "view click+ purchase"    -> PATTERN (A B+ C)
+        "view !purchase"          -> A not followed by B within the window
+
+    Which shapes each match MODE supports is enforced by
+    :func:`match_pattern` (this function only tokenizes).
+    """
+    steps: list[Step] = []
+    toks = pattern.split()
+    if not toks:
+        raise ValueError("empty pattern")
+    for tok in toks:
+        m = _TOKEN_RE.match(tok)
+        if not m:
+            raise ValueError(
+                f"bad pattern token {tok!r}: expected name, name+ or !name"
+            )
+        neg, name, plus = m.groups()
+        if neg and plus:
+            raise ValueError(f"token {tok!r}: negation cannot carry a quantifier")
+        steps.append(Step(name, "+" if plus else "1", bool(neg)))
+    return steps
+
+
+def match_pattern(
+    df: DataFrame,
+    pattern: str,
+    within_s: int,
+    mode: str = "contiguous",
+    defines: dict[str, Column] | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Compile a declarative pattern spec to one of the four matcher
+    plans — the user-facing MATCH_RECOGNIZE-lite entry point unifying
+    this module.
+
+    ``pattern`` is parsed by :func:`parse_pattern`; ``defines`` is the
+    DEFINE clause (step name -> arbitrary per-row Column predicate;
+    unnamed steps default to ``type_col == name``; NULL predicates read
+    as non-matches). ``mode``:
+
+    * ``'contiguous'`` — AFTER MATCH SKIP TO NEXT ROW over consecutive
+      events. Supported shapes: all-single steps (lead()-compiled,
+      :func:`match_contiguous`); ``A B+ C`` with exactly one Kleene
+      middle (gaps-and-islands, :func:`match_kleene`); ``A !B``
+      (RANGE-frame negation, :func:`match_absence`). If the DEFINEs of
+      a Kleene pattern let one row satisfy both B and C, the row
+      terminates the match (reluctant B+); with default type-equality
+      steps the cases are disjoint.
+    * ``'skip'`` — skip-till-next-match funnel semantics
+      (:func:`match_funnel`); quantifiers/negation are rejected (the
+      funnel's earliest-next-step semantics already skip over
+      non-matching rows, so ``+`` adds nothing).
+
+    Everything compiles to pure Catalyst window/aggregate plans — one
+    exchange on the key, no joins (one co-partitioned join for 'skip')
+    — so the API inherits the scale behavior pinned in
+    tests/test_round5*.py and BENCH/PLANS.md.
+    """
+    steps = parse_pattern(pattern)
+    cols = dict(key_col=key_col, ts_col=ts_col, type_col=type_col, id_col=id_col)
+    if mode == "skip":
+        if any(s.quant == "+" or s.negated for s in steps):
+            raise ValueError("mode='skip' supports plain steps only")
+        return match_funnel(
+            df, [s.name for s in steps], within_s, defines=defines, **cols
+        )
+    if mode != "contiguous":
+        raise ValueError(f"unknown mode {mode!r}: expected 'contiguous' or 'skip'")
+    if any(s.negated for s in steps):
+        if len(steps) == 2 and not steps[0].negated and steps[0].quant == "1":
+            return match_absence(
+                df,
+                first=steps[0].name,
+                absent=steps[1].name,
+                within_s=within_s,
+                defines=defines,
+                **cols,
+            )
+        raise ValueError(
+            "negation is supported as the second step of a 2-step pattern "
+            "('A !B'); compose longer shapes from match_* directly"
+        )
+    plus_at = [i for i, s in enumerate(steps) if s.quant == "+"]
+    if not plus_at:
+        return match_contiguous(
+            df, [s.name for s in steps], within_s, defines=defines, **cols
+        )
+    if plus_at == [1] and len(steps) == 3:
+        return match_kleene(
+            df,
+            (steps[0].name, steps[1].name, steps[2].name),
+            within_s,
+            defines=defines,
+            **cols,
+        )
+    raise ValueError(
+        "Kleene quantifier is supported as the middle step of a 3-step "
+        "pattern ('A B+ C'); compose longer shapes from match_* directly"
     )

@@ -294,6 +294,29 @@ def events_pattern_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_kleene(ev, ("view", "click", "purchase"), within_s=7 * 86400)
 
 
+def events_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative MATCH_RECOGNIZE-lite entry point (round 5,
+    operators/cep.match_pattern): PATTERN 'view click+ big_purchase'
+    within 7 days with a DEFINE clause — big_purchase := purchase AND
+    value >= 30 — compiled to the gaps-and-islands Kleene plan with the
+    step predicates evaluated as pre-projected booleans (one exchange +
+    two window passes, zero joins). Oracle: an INDEPENDENT formulation —
+    rownumbered self-join + correlated NOT EXISTS in DuckDB, not the
+    engine's islands compilation."""
+    from dataflow_geobeam_spark.operators.cep import match_pattern
+
+    ev = _t(spark, sf_dir, "events")
+    return match_pattern(
+        ev,
+        "view click+ big_purchase",
+        within_s=7 * 86400,
+        defines={
+            "big_purchase": (F.col("event_type") == "purchase")
+            & (F.col("value") >= 30.0)
+        },
+    )
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP skip-till-next funnel (round 5): for every signup, the
     earliest later view, then the earliest later purchase, completed

@@ -64,6 +64,15 @@ ANNOTATED = {
         "Filter — zero joins; the NOT EXISTS semantics compiled to one "
         "window pass."
     ),
+    "events_match_recognize": (
+        "Declarative MATCH_RECOGNIZE-lite (round 5c): PATTERN 'view click+ "
+        "big_purchase' with a DEFINE predicate (value >= 30), compiled by "
+        "match_pattern to the Kleene islands plan. Expect: the SAME shape as "
+        "events_pattern_kleene — ONE Exchange on user_id, row_number Window, "
+        "ONE fused last(...ignorenulls) Window — with the DEFINE evaluated as "
+        "pre-projected booleans below the windows; no joins, no extra "
+        "exchange from the predicate."
+    ),
     "events_pattern_kleene": (
         "CEP Kleene-plus matcher (round 5b), PATTERN (A B+ C). Expect: "
         "ONE Exchange on user_id, a row_number Window, then ONE fused "
