@@ -2,13 +2,16 @@
 
 ``match_contiguous_stream`` is the streaming form of
 ``operators/cep.match_contiguous`` (PATTERN (A B C …) over CONSECUTIVE
-events per key, bounded by a time window) and ``match_absence_stream``
+events per key, bounded by a time window), ``match_absence_stream``
 the streaming form of ``operators/cep.match_absence`` (negation /
 timeout alerting — the pattern that NEEDS event-time timers, because
 the interesting case is exactly the one where no further input arrives
-for the key). Both are built on ``applyInPandasWithState`` with
-event-time timeouts — the same stateful machinery as the
-clip<->transcript join (``streaming/join.py``).
+for the key), and ``match_kleene_stream`` the streaming form of
+``operators/cep.match_kleene`` (PATTERN (A B+ C) — variable-length
+iteration, finalized per TERMINATOR rather than per anchor). All are
+built on ``applyInPandasWithState`` with event-time timeouts — the same
+stateful machinery as the clip<->transcript join
+(``streaming/join.py``).
 
 Correctness under late data: an anchor's match outcome depends only on
 events with ``ts <= anchor_ts + within`` (later events cannot sit
@@ -244,6 +247,152 @@ def match_absence_stream(
         "user_id"
     ).applyInPandasWithState(
         _make_absence_fn(first, absent, within_s),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _make_kleene_fn(a_ty: str, b_ty: str, c_ty: str, within_s: int):
+    within_us = within_s * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        if state.exists:
+            ts_l, id_l, ty_l, done_l = state.get
+            buf = list(zip(ts_l, id_l, ty_l))
+            done_us = int(done_l)
+        else:
+            buf, done_us = [], -(1 << 62)
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for row in pdf.itertuples(index=False):
+                    buf.append(
+                        (
+                            int(pd.Timestamp(row.ts).value // 1000),
+                            int(row.event_id),
+                            str(row.event_type),
+                        )
+                    )
+        buf.sort()
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        rows = []
+        for i, (ts_us, eid, ty) in enumerate(buf):
+            if ts_us >= wm_us:
+                break  # a later event could still insert before this one
+            if ts_us < done_us or ty != c_ty:
+                continue
+            # nearest non-b predecessor: walk back over the b-run. The
+            # buffer is a contiguous time-suffix from the previous cut
+            # (prev_wm - within); since ts_c >= done_us = prev_wm, every
+            # event a VALID island could contain (anchor >= ts_c - within)
+            # is still buffered — hitting the buffer start means the true
+            # anchor already failed the time bound.
+            j = i - 1
+            n_b = 0
+            while j >= 0 and buf[j][2] == b_ty:
+                n_b += 1
+                j -= 1
+            if (
+                n_b >= 1
+                and j >= 0
+                and buf[j][2] == a_ty
+                and ts_us <= buf[j][0] + within_us
+            ):
+                t0 = buf[j][0] // 1_000_000
+                t_end = ts_us // 1_000_000
+                rows.append((int(key[0]), buf[j][1], n_b, t0, t_end, t_end - t0))
+        done_us = max(done_us, wm_us)
+        # evict only what no FUTURE c (ts >= wm) can reach: its island is
+        # time-bounded by within, so anything older than wm - within is
+        # out of reach for every not-yet-finalized terminator
+        keep_from = 0
+        while keep_from < len(buf) and buf[keep_from][0] + within_us < wm_us:
+            keep_from += 1
+        buf = buf[keep_from:]
+        if buf:
+            state.update(
+                (
+                    [b[0] for b in buf],
+                    [b[1] for b in buf],
+                    [b[2] for b in buf],
+                    done_us,
+                )
+            )
+            # wake when the oldest unemitted candidate can finalize, else
+            # when the oldest retained delimiter becomes evictable
+            pending = next((b[0] for b in buf if b[0] >= done_us), None)
+            if pending is not None:
+                desired_ms = pending // 1000 + 1000
+            else:
+                desired_ms = (buf[0][0] + within_us) // 1000 + 1000
+            state.setTimeoutTimestamp(max(desired_ms, wm_ms + 1000))
+        else:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["user_id", "anchor_id", "n_b", "t0_s", "t_end_s", "span_s"],
+            )
+
+    return fn
+
+
+def match_kleene_stream(
+    events: DataFrame,
+    pattern: tuple[str, str, str],
+    within_s: int,
+) -> DataFrame:
+    """Streaming iteration matcher — PATTERN (A B+ C) over consecutive
+    events per key, the streaming form of ``operators/cep.match_kleene``.
+
+    Finalization: a terminator (``c``) row's outcome depends ONLY on its
+    predecessors (nearest non-``b``, the run between, the time bound), so
+    it is final exactly when the watermark passes its own timestamp — no
+    admissible event can insert before it anymore. Emission therefore
+    advances a per-key high-water mark (``done_us``): each batch emits
+    terminators with ``done_us <= ts < watermark`` exactly once.
+
+    Eviction keeps a longer tail than emission: an unfinalized terminator
+    (``ts >= watermark``) can reach back ``within`` seconds for its
+    island, so only events with ``ts + within < watermark`` are dropped —
+    and since matched islands are time-bounded (``ts_c <= anchor +
+    within``), a walk-back that runs off the buffer start proves the true
+    anchor fails the bound anyway. Event-time timeouts flush buffered
+    terminators when the watermark advances without new rows for the key.
+
+    Output equals the batch operator over the delivered (non-late)
+    events restricted to finalized terminators; pinned by
+    tests/test_cep_api.py.
+    """
+    a_ty, b_ty, c_ty = pattern
+    state_schema = StructType(
+        [
+            StructField("ts_us", _long_array(), True),
+            StructField("ids", _long_array(), True),
+            StructField("types", _str_array(), True),
+            StructField("done_us", LongType(), True),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("anchor_id", LongType(), False),
+            StructField("n_b", LongType(), False),
+            StructField("t0_s", LongType(), False),
+            StructField("t_end_s", LongType(), False),
+            StructField("span_s", LongType(), False),
+        ]
+    )
+    return events.select("user_id", "event_id", "ts", "event_type").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _make_kleene_fn(a_ty, b_ty, c_ty, within_s),
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",

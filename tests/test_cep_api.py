@@ -171,3 +171,71 @@ def test_defines_null_predicate_is_nonmatch(spark):
     # absence: user 1's b must NOT count as present (NULL pred -> absent)
     got_abs = match_pattern(df, "a !big_b", 60, defines={"big_b": big_b}).collect()
     assert sorted(r.user_id for r in got_abs) == [1]
+
+
+def test_match_kleene_stream_equals_batch(spark, tmp_path):
+    """Streaming Kleene CEP vs the (oracle-gated) batch operator: the
+    events table streamed as 4 time-ordered files with a 1-hour
+    watermark delay must emit exactly the batch matches whose TERMINATOR
+    finalizes under the final watermark (wm > ts_c) — terminator-based
+    finalization, unlike the anchor-based contiguous/absence forms —
+    including matches flushed purely by the event-time timeout."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as apq
+    from pyspark.sql import functions as F
+
+    from dataflow_geobeam_spark.operators.cep import match_kleene
+    from dataflow_geobeam_spark.streaming.cep import match_kleene_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    pattern, within_s = ("view", "click", "purchase"), 7 * 86400
+    t = apq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    idx = pa.compute.sort_indices(
+        t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    )
+    t = t.take(idx)
+    stream_dir = tmp_path / "ev_stream_kleene"
+    stream_dir.mkdir()
+    n = t.num_rows
+    per = (n + 3) // 4
+    for f in range(4):
+        apq.write_table(t.slice(f * per, per), str(stream_dir / f"part-{f:04d}.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+        .withWatermark("ts", "1 hour")
+    )
+    out = match_kleene_stream(stream, pattern, within_s)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cep_kleene_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        tuple(r) for r in spark.sql("select * from cep_kleene_stream_test").collect()
+    }
+
+    # Spark's watermark = ms-truncated max event time - delay; a match is
+    # finalized iff its terminator ts < wm. Restricting the batch INPUT to
+    # ts < wm keeps every island intact (islands only look backward).
+    max_ts = pa.compute.max(t.column("ts")).as_py()
+    wm_dt = dt.datetime.fromtimestamp(
+        (int(max_ts.timestamp() * 1000) - 3600_000) / 1000.0
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("ts") < F.lit(wm_dt)
+    )
+    batch = {tuple(r) for r in match_kleene(ev, pattern, within_s).collect()}
+    assert got == batch and len(batch) > 0
