@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample_16k": audio.audio_resample_16k,
         "audio_mel_features": audio.audio_mel_features,
         "audio_mfcc": audio.audio_mfcc,
+        "audio_pitch": audio.audio_pitch,
         "pipeline_clean_asr_corpus": audio.pipeline_clean_asr_corpus,
         # --- relational operator coverage (SURVEY.md §2.4) ---
         "tpch_q1_pricing_summary": relational.q1_pricing_summary_rounded,
@@ -209,12 +210,14 @@ def oracle_sql() -> dict[str, str]:
     from dataflow_geobeam_spark.fixtures.generate import (
         ensure_golden_mel,
         ensure_golden_mfcc,
+        ensure_golden_pitch,
         ensure_golden_resample,
     )
 
     ensure_golden_resample("/root/testdata/sf0.01")
     ensure_golden_mel("/root/testdata/sf0.01")
     ensure_golden_mfcc("/root/testdata/sf0.01")
+    ensure_golden_pitch("/root/testdata/sf0.01")
     return {
         "audio_window_tumbling": f"""
             SELECT CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS window_start_s,
@@ -494,6 +497,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT clip_id,
                    {", ".join(f"mfcc_mean[{i + 1}] AS c{i:02d}" for i in range(13))}
             FROM read_parquet('{FIXTURES_SF01}/golden_mfcc.parquet')
+        """,
+        "audio_pitch": f"""
+            SELECT clip_id,
+                   pitch_stats[1] AS f0_mean_hz,
+                   pitch_stats[2] AS voiced_ratio
+            FROM read_parquet('{FIXTURES_SF01}/golden_pitch.parquet')
         """,
         "pipeline_clean_asr_corpus": f"""
             WITH scored AS (

@@ -1320,3 +1320,44 @@ def ensure_golden_mfcc(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
     )
     pq.write_table(tbl, path, compression="zstd")
     return path
+
+
+def ensure_golden_pitch(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+    """Golden for the audio_pitch driver query: per DECODABLE clip with
+    at least one full 640-sample analysis segment after 16 kHz
+    resampling, [f0_mean_hz, voiced_ratio] via independent.pitch_stats
+    (per-frame scalar-walk peak picking vs the engine's vectorized
+    mask), round-6 like the engine."""
+    out_dir = fixtures_dir_for(sf_dir, root)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "golden_pitch.parquet")
+    if os.path.exists(path):
+        return path
+    clips = pq.read_table(
+        os.path.join(ensure_fixtures(sf_dir, root), "clips.parquet"),
+        columns=["clip_id", "bytes", "codec", "sr_hz"],
+    )
+    ids, vecs = [], []
+    for cid, buf, codec, sr in zip(
+        clips.column("clip_id").to_pylist(),
+        clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(),
+        clips.column("sr_hz").to_pylist(),
+    ):
+        try:
+            pcm, _sr = independent.decode(buf, codec)
+        except Exception:  # noqa: BLE001 - decode failure => dropped row
+            continue
+        v = independent.pitch_stats(pcm, sr or _sr)
+        if v is None:
+            continue
+        ids.append(cid)
+        vecs.append((np.floor(v * 1e6 + 0.5) / 1e6).tolist())
+    tbl = pa.Table.from_pydict(
+        {
+            "clip_id": pa.array(ids),
+            "pitch_stats": pa.array(vecs, type=pa.list_(pa.float64())),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd")
+    return path

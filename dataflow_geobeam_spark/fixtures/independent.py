@@ -686,3 +686,48 @@ def mfcc_mean(pcm, sr_hz: int):
                 acc = acc + log_e[m] * basis[k, m]
             mean[k] = mean[k] + acc
     return mean / float(n_frames)
+
+
+def pitch_stats(pcm, sr_hz: int):
+    """Independent mirror of functions/audio.pitch_stats_np: resample to
+    16 kHz, 640-sample segments every 480, normalized autocorrelation
+    over lags 40..320 with the r/e0/e(tau) folds LEFT-TO-RIGHT over the
+    320-sample window. Per-frame loop structure (fold over n vectorized
+    across lags only) vs the engine's single fold vectorized across
+    (frames x lags); every non-fold op is IEEE-exact (*, /, sqrt), so
+    the outputs are bit-identical."""
+    sr, w, hop, lag_lo, lag_hi = 16000, 320, 480, 40, 320
+    corr_min, energy_min = 0.5, 1e-6
+    y = resample_linear(pcm, sr_hz, sr)
+    seg = w + lag_hi
+    if y.size < seg:
+        return None
+    lags = np.arange(lag_lo, lag_hi + 1)
+    n_frames = 1 + (y.size - seg) // hop
+    acc, n_voiced = 0.0, 0
+    for t in range(n_frames):
+        x = y[t * hop : t * hop + seg]
+        r = np.zeros(lags.size)
+        e_tau = np.zeros(lags.size)
+        e0 = 0.0
+        for n in range(w):  # left-to-right fold per the shared spec
+            xs = x[n + lags]
+            r = r + x[n] * xs
+            e_tau = e_tau + xs * xs
+            e0 = e0 + x[n] * x[n]
+        denom = np.sqrt(e0 * e_tau)
+        norm = np.where(denom > 0.0, r / np.where(denom > 0.0, denom, 1.0), 0.0)
+        best_corr = float(np.max(norm))
+        if e0 > energy_min and best_corr > corr_min:
+            # first local peak (>= left, > right) above 0.95 * max,
+            # scalar walk vs the engine's vectorized peak mask
+            thresh = 0.95 * best_corr
+            chosen = int(np.argmax(norm))
+            for i in range(1, norm.size - 1):
+                if norm[i] >= norm[i - 1] and norm[i] > norm[i + 1] and norm[i] >= thresh:
+                    chosen = i
+                    break
+            acc = acc + sr / float(lag_lo + chosen)
+            n_voiced += 1
+    f0_mean = acc / float(n_voiced) if n_voiced else 0.0
+    return np.array([f0_mean, n_voiced / float(n_frames)])

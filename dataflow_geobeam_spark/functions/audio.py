@@ -610,3 +610,100 @@ def with_mfcc_means(
     and drops the payload column. Decode failure or a sub-frame clip =>
     NULL."""
     return _with_clip_vector(df, mfcc_mean_np, "mfcc_mean", bytes_col, codec_col, sr_col)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: F0 / pitch estimation (normalized autocorrelation)
+# ---------------------------------------------------------------------------
+
+PITCH_SR = 16000
+PITCH_W = 320          # 20 ms correlation window at 16 kHz
+PITCH_HOP = 480        # 30 ms pitch-track hop
+PITCH_LAG_LO = 40      # 400 Hz ceiling
+PITCH_LAG_HI = 320     # 50 Hz floor
+PITCH_CORR_MIN = 0.5   # voicing decision on normalized autocorrelation
+PITCH_ENERGY_MIN = 1e-6
+PITCH_OCTAVE_BIAS = 0.95  # accept the SMALLEST lag within 5% of the peak
+
+
+def pitch_stats_np(pcm, sr_hz: int):
+    """Per-clip pitch statistics [f0_mean_hz, voiced_ratio] (float64),
+    or None if the clip yields no full analysis segment.
+
+    Chain spec (shared with fixtures.independent.pitch_stats — identical
+    arithmetic, loop-structured there): resample to PITCH_SR, segment
+    PITCH_W + PITCH_LAG_HI samples every PITCH_HOP; per segment the
+    normalized autocorrelation norm(tau) = r(tau) / sqrt(e0 * e(tau))
+    where r(tau) = LEFT-TO-RIGHT fold over n < PITCH_W of y[n]*y[n+tau],
+    e0 / e(tau) the same folds of squares (zero denominator -> norm 0).
+    A frame is VOICED iff e0 > PITCH_ENERGY_MIN and the max over
+    tau in [PITCH_LAG_LO, PITCH_LAG_HI] exceeds PITCH_CORR_MIN; its
+    f0 = PITCH_SR / chosen_tau where chosen_tau is the FIRST LOCAL
+    PEAK (corr >= left neighbor, > right neighbor) reaching
+    PITCH_OCTAVE_BIAS * max, falling back to the global first-max if
+    no interior peak qualifies. A periodic signal peaks equally at
+    every period multiple — numerical noise must not halve the pitch,
+    and the peak test (not a bare threshold crossing) keeps the chosen
+    lag on the true period rather than 5% early on the peak's
+    shoulder. All selection ops are exact comparisons.
+    Output: mean f0 over voiced frames (left-to-right fold; 0.0 if no
+    voiced frame) and voiced_ratio = n_voiced / n_frames. Every
+    non-fold op in the chain (*, /, sqrt, comparisons) is IEEE-exact,
+    so vectorization differences cannot change a ULP.
+    """
+    import numpy as np
+
+    y = resample_linear_np(pcm, sr_hz, PITCH_SR)
+    seg = PITCH_W + PITCH_LAG_HI
+    if y.size < seg:
+        return None
+    n_frames = 1 + (y.size - seg) // PITCH_HOP
+    idx = np.arange(seg)[None, :] + PITCH_HOP * np.arange(n_frames)[:, None]
+    x = y[idx]  # (n_frames, seg)
+    lags = np.arange(PITCH_LAG_LO, PITCH_LAG_HI + 1)
+    n_lags = lags.size
+    r = np.zeros((n_frames, n_lags))
+    e_tau = np.zeros((n_frames, n_lags))
+    e0 = np.zeros(n_frames)
+    for n in range(PITCH_W):  # left-to-right fold per the shared spec
+        xn = x[:, n][:, None]
+        xs = x[:, n + lags]
+        r = r + xn * xs
+        e_tau = e_tau + xs * xs
+        e0 = e0 + x[:, n] * x[:, n]
+    denom = np.sqrt(e0[:, None] * e_tau)
+    norm = np.where(denom > 0.0, r / np.where(denom > 0.0, denom, 1.0), 0.0)
+    best_corr = np.max(norm, axis=1)
+    voiced = (e0 > PITCH_ENERGY_MIN) & (best_corr > PITCH_CORR_MIN)
+    # FIRST LOCAL PEAK (>= left, > right — plateaus resolve to their last
+    # point) reaching PITCH_OCTAVE_BIAS * max; fall back to the global
+    # first-max if no interior peak qualifies
+    thresh = (PITCH_OCTAVE_BIAS * best_corr)[:, None]
+    interior = norm[:, 1:-1]
+    is_peak = (
+        (interior >= norm[:, :-2]) & (interior > norm[:, 2:]) & (interior >= thresh)
+    )
+    has_peak = is_peak.any(axis=1)
+    chosen = np.where(
+        has_peak, np.argmax(is_peak, axis=1) + 1, np.argmax(norm, axis=1)
+    )
+    f0 = PITCH_SR / (PITCH_LAG_LO + chosen).astype(np.float64)
+    acc, n_voiced = 0.0, 0
+    for t in range(n_frames):  # left-to-right over frames
+        if voiced[t]:
+            acc = acc + f0[t]
+            n_voiced += 1
+    f0_mean = acc / float(n_voiced) if n_voiced else 0.0
+    return np.array([f0_mean, n_voiced / float(n_frames)])
+
+
+def with_pitch_stats(
+    df, bytes_col: str = "bytes", codec_col: str = "codec", sr_col: str = "sr_hz"
+):
+    """Decode + resample + autocorrelation pitch track in ONE mapInArrow
+    pass: appends ``pitch_stats`` (array<double> [f0_mean_hz,
+    voiced_ratio], round-6) and drops the payload column. Decode failure
+    or a sub-segment clip => NULL."""
+    return _with_clip_vector(
+        df, pitch_stats_np, "pitch_stats", bytes_col, codec_col, sr_col
+    )

@@ -470,3 +470,29 @@ def audio_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.col("mfcc_mean")[i].alias(f"c{i:02d}") for i in range(MFCC_N)],
         )
     )
+
+
+def audio_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F0 / pitch estimation (round 5c): decode + 16 kHz resample +
+    per-segment normalized autocorrelation + octave-safe peak picking +
+    voicing decision, all in ONE mapInArrow pass
+    (functions/audio.with_pitch_stats) — the prosody feature an ASR /
+    TTS corpus pipeline extracts alongside MFCCs.
+
+    Oracle: generation-time golden via the independent per-frame
+    scalar-walk mirror (fixtures/independent.pitch_stats) — the folds
+    are specified left-to-right and every non-fold op is IEEE-exact
+    (*, /, sqrt, comparisons), so both doubles are bit-exact."""
+    from dataflow_geobeam_spark.functions.audio import with_pitch_stats
+
+    fx = ensure_fixtures(sf_dir)
+    df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
+    return (
+        with_pitch_stats(df)
+        .where(F.col("pitch_stats").isNotNull())
+        .select(
+            "clip_id",
+            F.col("pitch_stats")[0].alias("f0_mean_hz"),
+            F.col("pitch_stats")[1].alias("voiced_ratio"),
+        )
+    )

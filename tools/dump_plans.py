@@ -92,6 +92,12 @@ ANNOTATED = {
         "resample + log-mel + DCT-II + frame mean in a single Arrow "
         "pass), projection of 13 array elements, no shuffle."
     ),
+    "audio_pitch": (
+        "F0 / pitch estimation (round 5c). Expect: ONE MapInArrow node "
+        "(decode + resample + autocorrelation pitch track + voicing in a "
+        "single Arrow pass), projection of the 2 array elements, no "
+        "shuffle."
+    ),
     "pipeline_clean_asr_corpus": (
         "ASR corpus-prep composite (round 5b). Expect: one clips scan + "
         "one MapInArrow decode pass, row-local rule Filter, partial+final "
