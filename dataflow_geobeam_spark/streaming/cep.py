@@ -410,3 +410,45 @@ def _str_array():
     from pyspark.sql.types import ArrayType, StringType
 
     return ArrayType(StringType())
+
+
+def match_pattern_stream(
+    events: DataFrame,
+    pattern: str,
+    within_s: int,
+) -> DataFrame:
+    """Declarative entry point for the STREAMING matchers — the
+    streaming counterpart of ``operators/cep.match_pattern``. Parses the
+    same PATTERN grammar (``"a b c"``, ``"a b+ c"``, ``"a !b"``) and
+    dispatches to :func:`match_contiguous_stream`,
+    :func:`match_kleene_stream`, or :func:`match_absence_stream`.
+
+    DEFINE clauses are not offered here: the streaming matchers hold
+    per-key event buffers in typed state (ts/id/type arrays), so steps
+    are type-named; evaluate a predicate into the type column upstream
+    if richer steps are needed. ``events`` must already carry
+    ``withWatermark`` on ``ts``.
+    """
+    from dataflow_geobeam_spark.operators.cep import parse_pattern
+
+    steps = parse_pattern(pattern)
+    if any(s.negated for s in steps):
+        if len(steps) == 2 and not steps[0].negated and steps[0].quant == "1":
+            return match_absence_stream(
+                events, first=steps[0].name, absent=steps[1].name, within_s=within_s
+            )
+        raise ValueError(
+            "negation is supported as the second step of a 2-step pattern "
+            "('A !B'); compose longer shapes from match_*_stream directly"
+        )
+    plus_at = [i for i, s in enumerate(steps) if s.quant == "+"]
+    if not plus_at:
+        return match_contiguous_stream(events, [s.name for s in steps], within_s)
+    if plus_at == [1] and len(steps) == 3:
+        return match_kleene_stream(
+            events, (steps[0].name, steps[1].name, steps[2].name), within_s
+        )
+    raise ValueError(
+        "Kleene quantifier is supported as the middle step of a 3-step "
+        "pattern ('A B+ C'); compose longer shapes from match_*_stream directly"
+    )

@@ -239,3 +239,58 @@ def test_match_kleene_stream_equals_batch(spark, tmp_path):
     )
     batch = {tuple(r) for r in match_kleene(ev, pattern, within_s).collect()}
     assert got == batch and len(batch) > 0
+
+
+def test_match_pattern_stream_dispatch(spark, tmp_path):
+    """The streaming declarative entry point: grammar errors raise before
+    any query starts, and a dispatched contiguous pattern run availableNow
+    over a tiny file stream emits exactly the hand-computed finalized
+    match."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as apq
+    import pytest
+
+    from dataflow_geobeam_spark.streaming.cep import match_pattern_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = {
+        "user_id": [1, 1, 1, 2, 9],
+        "event_id": [10, 11, 12, 20, 90],
+        "ts": [
+            t0,
+            t0 + dt.timedelta(seconds=5),
+            t0 + dt.timedelta(seconds=9),
+            t0 + dt.timedelta(seconds=3),
+            t0 + dt.timedelta(days=30),  # watermark driver row
+        ],
+        "event_type": ["a", "b", "c", "a", "z"],
+    }
+    stream_dir = tmp_path / "tiny_stream"
+    stream_dir.mkdir()
+    apq.write_table(pa.table(rows), str(stream_dir / "part-0000.parquet"))
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        .parquet(str(stream_dir))
+        .withWatermark("ts", "1 hour")
+    )
+    with pytest.raises(ValueError, match="negation"):
+        match_pattern_stream(stream, "a b !c", 60)
+    with pytest.raises(ValueError, match="Kleene"):
+        match_pattern_stream(stream, "a+ b c", 60)
+
+    out = match_pattern_stream(stream, "a b c", within_s=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cep_dispatch_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = [tuple(r) for r in spark.sql("select * from cep_dispatch_stream_test").collect()]
+    t0_s = int(t0.timestamp())
+    assert got == [(1, 10, t0_s, t0_s + 5, t0_s + 9, 9)]
