@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "audio_vad",
     "events_pattern_absence",
     "events_pattern_kleene",
+    # round-5c: declarative MATCH_RECOGNIZE-lite with a DEFINE predicate
+    # (compiles to the Kleene islands plan) and the pitch kernel
+    "events_match_recognize",
+    "audio_pitch",
 ]
 
 
