@@ -284,10 +284,14 @@ def audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A frame is speech iff frame_rms > max(0.1 * clip_max_rms, 1e-4) —
     gain-relative with an absolute noise floor. Segments are rising
-    edges in frame_idx order (lag window). The whole operator is pure
-    Catalyst over the decode explode: one exchange on clip_id shared by
-    the max-window, the lag-window, and the final groupBy (the window's
-    hash partitioning satisfies the aggregate's distribution).
+    edges in frame_idx order (lag window). Frame RMS comes out of the
+    SAME mapInArrow pass as the decode (functions/audio.with_frame_rms,
+    arithmetic-identical to the Catalyst explode_frames fold — that path
+    stays hash-gated by audio_frame_rms), so only ~dur/hop doubles per
+    clip cross Arrow instead of the full PCM array; the segmentation is
+    pure Catalyst with one exchange on clip_id shared by the max-window,
+    the lag-window, and the final groupBy (the window's hash
+    partitioning satisfies the aggregate's distribution).
 
     Oracle: the same windowed SQL in DuckDB over golden_frames.parquet —
     the generation-time INDEPENDENT decode's frame table — so the gate
@@ -297,16 +301,15 @@ def audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from dataflow_geobeam_spark.functions.audio import explode_frames
-    from dataflow_geobeam_spark.functions.decode import with_decoded_pcm
+    from dataflow_geobeam_spark.functions.audio import with_frame_rms
 
     fx = ensure_fixtures(sf_dir)
     df = read_clips(spark, fx).where(precheck_predicate())
-    pcm = with_decoded_pcm(df.select("clip_id", "bytes", "codec", "sr_hz")).where(
-        "pcm IS NOT NULL"
+    arr = with_frame_rms(df.select("clip_id", "bytes", "codec", "sr_hz")).where(
+        "frame_rms_arr IS NOT NULL"
     )
-    frames = explode_frames(pcm, frame_ms=100, hop_ms=50).select(
-        "clip_id", "frame_idx", "frame_rms"
+    frames = arr.select(
+        "clip_id", F.posexplode("frame_rms_arr").alias("frame_idx", "frame_rms")
     )
     w_clip = Window.partitionBy("clip_id")
     w_ord = Window.partitionBy("clip_id").orderBy("frame_idx")

@@ -37,6 +37,45 @@ def test_explode_frames_counts_and_rms(spark, fixture_dir):
         assert abs(got - want) < 1e-6, clip_id
 
 
+def test_with_frame_rms_equals_catalyst_explode(spark, fixture_dir):
+    """The VAD fast path (frame RMS computed inside the decode mapInArrow
+    pass) must produce byte-identical round-6 doubles to the Catalyst
+    explode_frames fold it replaces — across mixed sample rates and both
+    failure modes (decode error, sub-frame clip)."""
+    df = read_clips(spark, fixture_dir).where(
+        "codec = 'wav' AND sr_hz > 0 AND bytes IS NOT NULL"
+    ).limit(16)
+    pcm_df = with_decoded_pcm(df.select("clip_id", "bytes", "codec", "sr_hz")).where(
+        "pcm IS NOT NULL"
+    )
+    want = {
+        (r.clip_id, r.frame_idx): r.frame_rms
+        for r in audio.explode_frames(pcm_df, frame_ms=100, hop_ms=50)
+        .select("clip_id", "frame_idx", "frame_rms")
+        .collect()
+    }
+    arr = audio.with_frame_rms(df.select("clip_id", "bytes", "codec", "sr_hz")).where(
+        "frame_rms_arr IS NOT NULL"
+    )
+    got = {
+        (r.clip_id, r.frame_idx): r.frame_rms
+        for r in arr.select(
+            "clip_id", F.posexplode("frame_rms_arr").alias("frame_idx", "frame_rms")
+        ).collect()
+    }
+    assert want and got == want  # identical keys AND identical doubles
+    # failure modes: junk payload and a sub-frame clip both yield NULL
+    bad = spark.createDataFrame(
+        [
+            ("junk", b"nope", "wav", 16000),
+            ("tiny", codecs.encode(synth_pcm(5, 16000, 20), 16000, "wav"), "wav", 16000),
+        ],
+        "clip_id string, bytes binary, codec string, sr_hz int",
+    )
+    out = {r.clip_id: r.frame_rms_arr for r in audio.with_frame_rms(bad).collect()}
+    assert out == {"junk": None, "tiny": None}
+
+
 def test_zcr_and_silence(spark):
     from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
 

@@ -81,11 +81,13 @@ ANNOTATED = {
         "Catalyst from splitting it) — gaps-and-islands with zero joins."
     ),
     "audio_vad": (
-        "VAD segmentation (round 5b). Expect: MapInArrow decode + "
-        "posexplode, then the max-Window, lag-Window, and final "
+        "VAD segmentation (round 5b; r5 fast path). Expect: ONE MapInArrow "
+        "node computing decode + frame + RMS in the same Arrow pass "
+        "(only ~dur/hop round-6 doubles per clip cross Arrow, not the "
+        "full PCM array or a per-sample Catalyst fold), posexplode of the "
+        "small array, then the max-Window, lag-Window, and final "
         "HashAggregate all riding ONE Exchange on clip_id (window hash "
-        "partitioning satisfies the aggregate's distribution) — pure "
-        "Catalyst after the decode kernel."
+        "partitioning satisfies the aggregate's distribution)."
     ),
     "audio_mfcc": (
         "MFCC cepstra (round 5b). Expect: ONE MapInArrow node (decode + "
