@@ -416,6 +416,7 @@ def match_pattern_stream(
     events: DataFrame,
     pattern: str,
     within_s: int,
+    defines: dict | None = None,
 ) -> DataFrame:
     """Declarative entry point for the STREAMING matchers — the
     streaming counterpart of ``operators/cep.match_pattern``. Parses the
@@ -423,15 +424,43 @@ def match_pattern_stream(
     dispatches to :func:`match_contiguous_stream`,
     :func:`match_kleene_stream`, or :func:`match_absence_stream`.
 
-    DEFINE clauses are not offered here: the streaming matchers hold
-    per-key event buffers in typed state (ts/id/type arrays), so steps
-    are type-named; evaluate a predicate into the type column upstream
-    if richer steps are needed. ``events`` must already carry
-    ``withWatermark`` on ``ts``.
+    ``defines`` (MATCH_RECOGNIZE DEFINE, round 5: batch/streaming parity
+    for the dispatcher) maps a step name to an arbitrary per-row Column
+    predicate over the INCOMING stream's columns, replacing the default
+    ``event_type == name`` test exactly as in the batch entry point. The
+    streaming matchers buffer one LABEL per event in typed state, so the
+    predicates are compiled upstream into a pure-Catalyst label
+    projection BEFORE the stateful stage: each row is labeled with the
+    first pattern step (in pattern order) whose predicate it satisfies;
+    a row satisfying no step keeps a non-step label (``"¬" + type``) so
+    it still occupies its position — breaking contiguity, terminating
+    Kleene runs, and never clearing an absence — just as a
+    no-step-matching row does in the batch plans. Single-labeling is
+    exact when the step predicates are pairwise DISJOINT per row (the
+    MATCH_RECOGNIZE norm and the only case with one well-defined
+    answer); a row satisfying two DEFINEs takes the earlier step, where
+    the batch Kleene form would let it satisfy both (reluctant-B+
+    termination). Equality with the batch operator under disjoint
+    DEFINEs is pinned by
+    tests/test_cep_api.py::test_match_pattern_stream_defines_equals_batch.
+    ``events`` must already carry ``withWatermark`` on ``ts``.
     """
+    from pyspark.sql import functions as F
+
     from dataflow_geobeam_spark.operators.cep import parse_pattern
 
     steps = parse_pattern(pattern)
+    if defines:
+        unknown = set(defines) - {s.name for s in steps}
+        if unknown:
+            raise ValueError(f"DEFINE for step(s) not in pattern: {sorted(unknown)}")
+        lbl = F.concat(F.lit("¬"), F.col("event_type"))
+        for s in reversed(steps):
+            pred = defines.get(s.name, F.col("event_type") == s.name)
+            lbl = F.when(pred, F.lit(s.name)).otherwise(lbl)
+        events = events.select(
+            "user_id", "event_id", "ts", lbl.alias("event_type")
+        )
     if any(s.negated for s in steps):
         if len(steps) == 2 and not steps[0].negated and steps[0].quant == "1":
             return match_absence_stream(

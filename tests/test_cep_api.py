@@ -294,3 +294,87 @@ def test_match_pattern_stream_dispatch(spark, tmp_path):
     got = [tuple(r) for r in spark.sql("select * from cep_dispatch_stream_test").collect()]
     t0_s = int(t0.timestamp())
     assert got == [(1, 10, t0_s, t0_s + 5, t0_s + 9, 9)]
+
+
+def test_match_pattern_stream_defines_equals_batch(spark, tmp_path):
+    """Streaming dispatcher with a DEFINE clause (round 5: batch/streaming
+    parity): the driver query's exact shape — PATTERN 'view click+
+    big_purchase' with big_purchase := purchase AND value >= 30 — run
+    availableNow over the events table as a 4-file stream must emit
+    exactly the batch match_pattern matches whose terminator finalizes
+    under the final watermark. The DEFINEs here are pairwise disjoint per
+    row (type-equality against distinct types), the case the upstream
+    label projection is exact for."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as apq
+    from pyspark.sql import functions as F
+
+    from dataflow_geobeam_spark.operators.cep import match_pattern
+    from dataflow_geobeam_spark.streaming.cep import match_pattern_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    pattern, within_s = "view click+ big_purchase", 7 * 86400
+
+    def defines():
+        return {
+            "big_purchase": (F.col("event_type") == "purchase")
+            & (F.col("value") >= 30.0)
+        }
+
+    t = apq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"],
+    )
+    idx = pa.compute.sort_indices(
+        t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    )
+    t = t.take(idx)
+    stream_dir = tmp_path / "ev_stream_defines"
+    stream_dir.mkdir()
+    n = t.num_rows
+    per = (n + 3) // 4
+    for f in range(4):
+        apq.write_table(t.slice(f * per, per), str(stream_dir / f"part-{f:04d}.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+        .withWatermark("ts", "1 hour")
+    )
+    out = match_pattern_stream(stream, pattern, within_s, defines=defines())
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cep_defines_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        tuple(r) for r in spark.sql("select * from cep_defines_stream_test").collect()
+    }
+
+    # terminator-finalized subset: restrict the batch INPUT to ts < wm
+    # (islands only look backward — see the Kleene equality test)
+    max_ts = pa.compute.max(t.column("ts")).as_py()
+    wm_dt = dt.datetime.fromtimestamp(
+        (int(max_ts.timestamp() * 1000) - 3600_000) / 1000.0
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("ts") < F.lit(wm_dt)
+    )
+    batch = {
+        tuple(r)
+        for r in match_pattern(ev, pattern, within_s, defines=defines()).collect()
+    }
+    assert got == batch and len(batch) > 0
+    # a defined step name absent from the pattern is a spec error
+    import pytest
+
+    with pytest.raises(ValueError, match="not in pattern"):
+        match_pattern_stream(stream, "view click+ purchase", within_s, defines=defines())
