@@ -691,30 +691,36 @@ def mfcc_mean(pcm, sr_hz: int):
 def pitch_stats(pcm, sr_hz: int):
     """Independent mirror of functions/audio.pitch_stats_np: resample to
     16 kHz, 640-sample segments every 480, normalized autocorrelation
-    over lags 40..320 with the r/e0/e(tau) folds LEFT-TO-RIGHT over the
-    320-sample window. Per-frame loop structure (fold over n vectorized
-    across lags only) vs the engine's single fold vectorized across
-    (frames x lags); every non-fold op is IEEE-exact (*, /, sqrt), so
-    the outputs are bit-identical."""
+    over lags 40..320. r(tau) comes from the SHARED FFT core
+    (np.fft.rfft/irfft at NFFT=1024 — same pocketfft ULPs transformed
+    frame-at-a-time here vs row-batched in the engine, verified
+    bitwise); the energies e0/e(tau) come from a float64 prefix sum of
+    squares built with an EXPLICIT scalar loop here (sequential like
+    np.cumsum, bit-identical) and differenced per the shared spec.
+    Frame iteration, peak picking (scalar walk vs vectorized mask), and
+    the voiced fold are structured independently; every non-shared op
+    (*, /, sqrt, comparisons, differences) is IEEE-exact, so the
+    outputs are bit-identical."""
     sr, w, hop, lag_lo, lag_hi = 16000, 320, 480, 40, 320
+    nfft = 1024
     corr_min, energy_min = 0.5, 1e-6
     y = resample_linear(pcm, sr_hz, sr)
     seg = w + lag_hi
     if y.size < seg:
         return None
-    lags = np.arange(lag_lo, lag_hi + 1)
     n_frames = 1 + (y.size - seg) // hop
     acc, n_voiced = 0.0, 0
     for t in range(n_frames):
-        x = y[t * hop : t * hop + seg]
-        r = np.zeros(lags.size)
-        e_tau = np.zeros(lags.size)
-        e0 = 0.0
-        for n in range(w):  # left-to-right fold per the shared spec
-            xs = x[n + lags]
-            r = r + x[n] * xs
-            e_tau = e_tau + xs * xs
-            e0 = e0 + x[n] * x[n]
+        x = np.asarray(y[t * hop : t * hop + seg], dtype=np.float64)
+        z = np.fft.irfft(np.conj(np.fft.rfft(x[:w], nfft)) * np.fft.rfft(x, nfft), nfft)
+        r = z[lag_lo : lag_hi + 1]
+        s = np.empty(seg)  # prefix sum of squares, explicit sequential loop
+        run = 0.0
+        for n in range(seg):
+            run = run + x[n] * x[n]
+            s[n] = run
+        e_tau = np.array([s[tau + w - 1] - s[tau - 1] for tau in range(lag_lo, lag_hi + 1)])
+        e0 = s[w - 1]
         denom = np.sqrt(e0 * e_tau)
         norm = np.where(denom > 0.0, r / np.where(denom > 0.0, denom, 1.0), 0.0)
         best_corr = float(np.max(norm))
