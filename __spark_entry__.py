@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_bucket_agg_salted": audio.audio_bucket_agg_salted,
         "audio_frame_rms": audio.audio_frame_rms,
         "audio_vad": audio.audio_vad,
+        "audio_vad_segments": audio.audio_vad_segments,
         "audio_spectral": audio.audio_spectral,
         "audio_near_dups": audio.audio_near_dups,
         "audio_resample_16k": audio.audio_resample_16k,
@@ -479,6 +480,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN rising THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_segments
             FROM fr GROUP BY clip_id
+        """,
+        "audio_vad_segments": f"""
+            WITH fl AS (
+              SELECT clip_id, frame_idx,
+                     frame_rms > greatest(
+                       0.1 * max(frame_rms) OVER (PARTITION BY clip_id),
+                       1e-4) AS speech
+              FROM read_parquet('{FIXTURES_SF01}/golden_frames.parquet')
+            ), fr AS (
+              SELECT clip_id, frame_idx, speech,
+                     speech AND NOT coalesce(
+                       lag(speech) OVER (PARTITION BY clip_id
+                                         ORDER BY frame_idx),
+                       false) AS rising
+              FROM fl
+            ), sg AS (
+              SELECT clip_id, frame_idx, speech,
+                     sum(CASE WHEN rising THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY clip_id ORDER BY frame_idx
+                             ROWS UNBOUNDED PRECEDING) AS seg
+              FROM fr
+            )
+            SELECT clip_id,
+                   CAST(seg AS BIGINT) AS seg_idx,
+                   CAST(count(*) AS BIGINT) AS n_frames,
+                   CAST(min(frame_idx) * 50 AS BIGINT) AS start_ms,
+                   CAST(max(frame_idx) * 50 + 100 AS BIGINT) AS end_ms
+            FROM sg WHERE speech GROUP BY clip_id, seg
         """,
         "audio_near_dups": f"""
             SELECT id_a, id_b, ber

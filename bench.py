@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     # (compiles to the Kleene islands plan) and the pitch kernel
     "events_match_recognize",
     "audio_pitch",
+    # round-5d: speech-segment extraction (ASR chunking)
+    "audio_vad_segments",
 ]
 
 

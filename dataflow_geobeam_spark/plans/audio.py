@@ -276,6 +276,36 @@ def audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _vad_flagged_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared VAD frame stage: decode + frame-RMS in ONE mapInArrow pass
+    (functions/audio.with_frame_rms), posexplode to frame rows, then the
+    speech flag (frame_rms > max(0.1 * clip_max_rms, 1e-4)) and its
+    rising edge — both pure Catalyst windows over ONE exchange on
+    clip_id."""
+    from pyspark.sql import Window
+
+    from dataflow_geobeam_spark.functions.audio import with_frame_rms
+
+    fx = ensure_fixtures(sf_dir)
+    df = read_clips(spark, fx).where(precheck_predicate())
+    arr = with_frame_rms(df.select("clip_id", "bytes", "codec", "sr_hz")).where(
+        "frame_rms_arr IS NOT NULL"
+    )
+    frames = arr.select(
+        "clip_id", F.posexplode("frame_rms_arr").alias("frame_idx", "frame_rms")
+    )
+    w_clip = Window.partitionBy("clip_id")
+    w_ord = Window.partitionBy("clip_id").orderBy("frame_idx")
+    return frames.withColumn(
+        "_speech",
+        F.col("frame_rms")
+        > F.greatest(F.max("frame_rms").over(w_clip) * 0.1, F.lit(1e-4)),
+    ).withColumn(
+        "_rising",
+        F.col("_speech") & ~F.coalesce(F.lag("_speech").over(w_ord), F.lit(False)),
+    )
+
+
 def audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Energy-threshold voice-activity detection (round 5): per clip,
     which 100 ms frames carry speech energy and how many contiguous
@@ -299,28 +329,7 @@ def audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-6 on both sides, so threshold comparisons are on identical
     doubles.
     """
-    from pyspark.sql import Window
-
-    from dataflow_geobeam_spark.functions.audio import with_frame_rms
-
-    fx = ensure_fixtures(sf_dir)
-    df = read_clips(spark, fx).where(precheck_predicate())
-    arr = with_frame_rms(df.select("clip_id", "bytes", "codec", "sr_hz")).where(
-        "frame_rms_arr IS NOT NULL"
-    )
-    frames = arr.select(
-        "clip_id", F.posexplode("frame_rms_arr").alias("frame_idx", "frame_rms")
-    )
-    w_clip = Window.partitionBy("clip_id")
-    w_ord = Window.partitionBy("clip_id").orderBy("frame_idx")
-    flagged = frames.withColumn(
-        "_speech",
-        F.col("frame_rms")
-        > F.greatest(F.max("frame_rms").over(w_clip) * 0.1, F.lit(1e-4)),
-    ).withColumn(
-        "_rising",
-        F.col("_speech") & ~F.coalesce(F.lag("_speech").over(w_ord), F.lit(False)),
-    )
+    flagged = _vad_flagged_frames(spark, sf_dir)
     return flagged.groupBy("clip_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.col("_speech").cast("long")).alias("n_speech"),
@@ -328,6 +337,48 @@ def audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("_speech").cast("long")) / F.count(F.lit(1)), 6
         ).alias("speech_ratio"),
         F.sum(F.col("_rising").cast("long")).alias("n_segments"),
+    )
+
+
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speech-segment EXTRACTION (round 5d) — the chunking step after
+    VAD: one row per contiguous run of speech frames, with nominal
+    frame-grid timestamps (frame i spans [i*50 ms, i*50+100 ms)). This
+    is what an ASR pipeline actually feeds the recognizer: bounded
+    utterance chunks, not whole clips.
+
+    Islands via a running sum of rising edges over the frame_idx order
+    (gaps-and-islands — the same compilation strategy as the CEP Kleene
+    matcher), then a filter to speech frames and a (clip_id, seg) group.
+    ALL of it rides the single clip_id exchange the flag stage already
+    made: HashPartitioning(clip_id) satisfies the (clip_id, _seg)
+    ClusteredDistribution, so no second shuffle.
+
+    Oracle: the same windowed SQL over golden_frames.parquet (the
+    generation-time INDEPENDENT decode's frame table) — crosses decode,
+    thresholding, islands, and the grouped extraction.
+    """
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy("clip_id").orderBy("frame_idx")
+    segs = _vad_flagged_frames(spark, sf_dir).withColumn(
+        "_seg", F.sum(F.col("_rising").cast("long")).over(w_ord)
+    )
+    return (
+        segs.where("_speech")
+        .groupBy("clip_id", "_seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            (F.min("frame_idx").cast("long") * 50).alias("start_ms"),
+            (F.max("frame_idx").cast("long") * 50 + 100).alias("end_ms"),
+        )
+        .select(
+            "clip_id",
+            F.col("_seg").alias("seg_idx"),
+            "n_frames",
+            "start_ms",
+            "end_ms",
+        )
     )
 
 

@@ -67,3 +67,17 @@ def test_precheck_runs_below_decode(spark, sf_dir):
     below = optimized[pos_mapinarrow:]
     # the codec whitelist filter is below (after, in tree print order) the decode node
     assert "codec" in below and "IN (wav" in below.replace("'", "")
+
+
+def test_vad_single_exchange_and_thin_arrow_output(spark, sf_dir):
+    """The VAD fast path (round 5d): frame RMS computed inside the decode
+    mapInArrow pass, so (1) the full PCM array never crosses Arrow — the
+    Python stage's output carries frame_rms_arr, not pcm — and (2) the
+    max-window, lag-window, and final aggregate all ride ONE Exchange on
+    clip_id."""
+    df = audio.audio_vad(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
+    assert plan.count("MapInArrow") == 1
+    arrow_line = [ln for ln in plan.splitlines() if "MapInArrow" in ln][0]
+    assert "frame_rms_arr" in arrow_line and "pcm" not in arrow_line

@@ -341,3 +341,101 @@ def test_match_absence_stream_equals_batch(spark, tmp_path):
         if r.t0_s + within_s < wm_s
     }
     assert got == batch and len(batch) > 0
+
+
+def test_vad_segments_multi_segment_extraction(spark):
+    """audio_vad_segments' islands logic on clips the fixture corpus
+    can't produce (every fixture clip is one continuous segment): a
+    hand-built wav with TWO bursts separated by silence must yield two
+    rows with the right frame spans, and an all-silence-but-one-burst
+    edge must clip to one row. Uses the operator's own building blocks
+    over an in-memory table (no fixtures), then a scalar recompute."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataflow_geobeam_spark import codecs
+    from dataflow_geobeam_spark.functions.audio import with_frame_rms
+
+    sr = 16000
+    frame, hop = 1600, 800  # 100/50 ms at 16 kHz
+
+    def clip(spans_s, dur_s):
+        y = np.zeros(int(sr * dur_s), dtype=np.float64)
+        t = np.arange(y.size) / sr
+        for a, b in spans_s:
+            m = (t >= a) & (t < b)
+            y[m] = 0.5 * np.sin(2 * np.pi * 220 * t[m])
+        return codecs.encode(y, sr, "wav")
+
+    rows = [
+        # burst 0-1s, silence 1-2s, burst 2-3s
+        ("two", clip([(0.0, 1.0), (2.0, 3.0)], 3.0), "wav", sr),
+        # single burst in the middle
+        ("one", clip([(1.0, 1.5)], 3.0), "wav", sr),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int"
+    )
+    frames = with_frame_rms(df).select(
+        "clip_id", F.posexplode("frame_rms_arr").alias("frame_idx", "frame_rms")
+    )
+    w_clip = Window.partitionBy("clip_id")
+    w_ord = Window.partitionBy("clip_id").orderBy("frame_idx")
+    flagged = frames.withColumn(
+        "_speech",
+        F.col("frame_rms")
+        > F.greatest(F.max("frame_rms").over(w_clip) * 0.1, F.lit(1e-4)),
+    ).withColumn(
+        "_rising",
+        F.col("_speech") & ~F.coalesce(F.lag("_speech").over(w_ord), F.lit(False)),
+    )
+    segs = (
+        flagged.withColumn("_seg", F.sum(F.col("_rising").cast("long")).over(w_ord))
+        .where("_speech")
+        .groupBy("clip_id", "_seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            (F.min("frame_idx").cast("long") * 50).alias("start_ms"),
+            (F.max("frame_idx").cast("long") * 50 + 100).alias("end_ms"),
+        )
+    )
+    got = {
+        (r.clip_id, r._seg): (r.n_frames, r.start_ms, r.end_ms)
+        for r in segs.collect()
+    }
+    # scalar recompute from the clip's own frame RMS values
+    import math
+
+    def expect(cid, payload):
+        pcm, _ = codecs.decode(payload, "wav")
+        n = (pcm.shape[0] - frame) // hop + 1
+        rms = []
+        for i in range(n):
+            sl = pcm[i * hop : i * hop + frame].astype(np.float64)
+            v = math.sqrt(float(np.cumsum(sl * sl)[-1]) / frame)
+            rms.append(math.floor(v * 1e6 + 0.5) / 1e6)
+        thr = max(0.1 * max(rms), 1e-4)
+        segsx, cur = [], None
+        for i, v in enumerate(rms):
+            if v > thr:
+                if cur is None:
+                    cur = [i, i]
+                else:
+                    cur[1] = i
+            elif cur is not None:
+                segsx.append(cur)
+                cur = None
+        if cur is not None:
+            segsx.append(cur)
+        return {
+            (cid, k + 1): (b - a + 1, a * 50, b * 50 + 100)
+            for k, (a, b) in enumerate(segsx)
+        }
+
+    want = {}
+    for cid, payload, _, _ in rows:
+        want.update(expect(cid, payload))
+    assert got == want
+    assert len([k for k in got if k[0] == "two"]) == 2
+    assert len([k for k in got if k[0] == "one"]) == 1

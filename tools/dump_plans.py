@@ -89,6 +89,14 @@ ANNOTATED = {
         "HashAggregate all riding ONE Exchange on clip_id (window hash "
         "partitioning satisfies the aggregate's distribution)."
     ),
+    "audio_vad_segments": (
+        "Speech-segment extraction (round 5d): VAD islands -> one row per "
+        "contiguous speech run. Expect: the SAME single Exchange on "
+        "clip_id carrying the max-Window, lag-Window, running-sum Window, "
+        "AND the final (clip_id, _seg) HashAggregate "
+        "(HashPartitioning(clip_id) satisfies the two-column clustering) "
+        "— zero extra shuffles on top of audio_vad."
+    ),
     "audio_mfcc": (
         "MFCC cepstra (round 5b). Expect: ONE MapInArrow node (decode + "
         "resample + log-mel + DCT-II + frame mean in a single Arrow "
