@@ -16,6 +16,13 @@ SEED = 42
 def synth_pcm(i: int, sr_hz: int, dur_ms: int) -> np.ndarray:
     """Render clip ``i``: 3 seeded sines + Gaussian noise, amplitude <= 0.8.
 
+    Clips with ``i % 5 == 2`` carry 1-2 internal SILENCE GAPS (the sines
+    are zeroed over seeded spans; the noise floor stays) — real speech
+    pauses, so VAD-style segmentation sees multi-segment clips in the
+    fixture corpus itself, not just in hand-built unit tests. Gap spans
+    draw from the same per-clip rng AFTER the tone draws, keeping the
+    tonal content of every clip identical to the ungapped variant.
+
     Returns float32 PCM in [-1, 1], length ``round(sr_hz * dur_ms / 1000)``.
     """
     n = int(round(sr_hz * dur_ms / 1000.0))
@@ -27,6 +34,11 @@ def synth_pcm(i: int, sr_hz: int, dur_ms: int) -> np.ndarray:
         phase = float(rng.uniform(0.0, 2.0 * np.pi))
         amp = 0.15 + 0.1 * float(rng.uniform())
         pcm += amp * np.sin(2.0 * np.pi * freq * t + phase)
+    if i % 5 == 2 and n > 0:
+        for _ in range(1 + int(rng.integers(0, 2))):
+            g0 = float(rng.uniform(0.15, 0.65))
+            glen = float(rng.uniform(0.12, 0.28))
+            pcm[int(g0 * n) : int(min(g0 + glen, 0.9) * n)] = 0.0
     pcm += 0.02 * rng.standard_normal(n)
     peak = np.max(np.abs(pcm)) if n else 1.0
     if peak > 0:

@@ -38,7 +38,7 @@ import pyarrow.parquet as pq
 from dataflow_geobeam_spark.audio_synth import SEED, synth_pcm
 from dataflow_geobeam_spark.fixtures import independent
 
-FIXTURE_VERSION = 4
+FIXTURE_VERSION = 5  # v5: silence-gapped clips (i%5==2) => multi-segment VAD
 T0 = datetime(2026, 1, 1, 0, 0, 0)
 ROWS_PER_SF = 300_000  # sf0.001 -> 300 rows, sf0.01 -> 3k, sf0.1 -> 30k
 DEFAULT_FIXTURES_ROOT = os.environ.get("SPARK_GRAFT_FIXTURES", "/root/repo/fixtures")
@@ -434,6 +434,15 @@ def ensure_fixtures(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
                 return out_dir
         except (json.JSONDecodeError, OSError):
             pass
+    if os.path.isdir(out_dir):
+        # version/row-count mismatch: wipe the WHOLE sf dir. Every other
+        # artifact in it (golden_*, audio_dupes, clips_stream_*, images,
+        # d256 embeddings) is existence-gated and derived — leaving them
+        # would silently pair v(N-1) goldens with v(N) clips. All of them
+        # regenerate lazily and deterministically.
+        import shutil
+
+        shutil.rmtree(out_dir)
     generate_fixtures(out_dir, n_rows)
     ensure_golden_frames(out_dir, n_rows)
     ensure_golden_spectral(out_dir, n_rows)

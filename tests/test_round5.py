@@ -542,8 +542,13 @@ def test_audio_near_dup_pairs_end_to_end(spark):
     result = audio_near_dup_pairs(fp, "clip_id", "fp", max_ber=0.10)
     got = {(r.id_a, r.id_b): r.ber for r in result.collect()}
     assert got == golden and len(got) > 0
-    # the gain dupe of clip 2 (i=3) is an exact-fingerprint pair (BER 0)
-    assert got.get(("ad000002", "ad000003")) == 0.0
+    # the gain dupe of an UNGAPPED clip (i=10 copies i=9) is an
+    # exact-fingerprint pair (BER 0: sign bits are gain-invariant);
+    # clip 2 is silence-gapped (fixture v5), so its gain dupe picks up a
+    # few quantization-flipped bits in the noise-only gap frames — still
+    # found, tiny BER
+    assert got.get(("ad000009", "ad000010")) == 0.0
+    assert 0.0 < got.get(("ad000002", "ad000003")) < 0.01
     # i=9 is the 20 dB near-miss of i=8: must NOT appear
     assert ("ad000008", "ad000009") not in got
     # truncated payloads (i%17==11) never appear on either side
