@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frame_rms": audio.audio_frame_rms,
         "audio_vad": audio.audio_vad,
         "audio_vad_segments": audio.audio_vad_segments,
+        "audio_extract_segments": audio.audio_extract_segments,
         "audio_spectral": audio.audio_spectral,
         "audio_near_dups": audio.audio_near_dups,
         "audio_resample_16k": audio.audio_resample_16k,
@@ -213,12 +214,14 @@ def oracle_sql() -> dict[str, str]:
         ensure_golden_mfcc,
         ensure_golden_pitch,
         ensure_golden_resample,
+        ensure_golden_segments,
     )
 
     ensure_golden_resample("/root/testdata/sf0.01")
     ensure_golden_mel("/root/testdata/sf0.01")
     ensure_golden_mfcc("/root/testdata/sf0.01")
     ensure_golden_pitch("/root/testdata/sf0.01")
+    ensure_golden_segments("/root/testdata/sf0.01")
     return {
         "audio_window_tumbling": f"""
             SELECT CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS window_start_s,
@@ -508,6 +511,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(frame_idx) * 50 AS BIGINT) AS start_ms,
                    CAST(max(frame_idx) * 50 + 100 AS BIGINT) AS end_ms
             FROM sg WHERE speech GROUP BY clip_id, seg
+        """,
+        "audio_extract_segments": f"""
+            SELECT clip_id, seg_idx, start_ms, end_ms, n_bytes, seg_md5
+            FROM read_parquet('{FIXTURES_SF01}/golden_segments.parquet')
         """,
         "audio_near_dups": f"""
             SELECT id_a, id_b, ber

@@ -69,8 +69,10 @@ BENCH_QUERIES = [
     # (compiles to the Kleene islands plan) and the pitch kernel
     "events_match_recognize",
     "audio_pitch",
-    # round-5d: speech-segment extraction (ASR chunking)
+    # round-5d: speech-segment extraction (ASR chunking) + the
+    # byte-producing utterance-chunk sink
     "audio_vad_segments",
+    "audio_extract_segments",
 ]
 
 

@@ -1331,6 +1331,81 @@ def ensure_golden_mfcc(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
     return path
 
 
+def ensure_golden_segments(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+    """Golden for the audio_extract_segments driver query: per decodable
+    clip with >=1 frame, every contiguous speech run (round-6 frame RMS >
+    max(0.1*max, 1e-4) — the audio_vad decision chain) with nominal
+    frame-grid timestamps, byte length, and md5 of the RIFF/WAVE PCM16
+    re-encode of the native-rate span [a*hop, b*hop+frame).
+
+    Independent end to end: independent.decode, the cumsum frame-RMS
+    formula (the golden_frames spec), a scalar island scan, and
+    independent.encode — the engine's codecs module never touches these
+    bytes."""
+    import hashlib
+
+    out_dir = fixtures_dir_for(sf_dir, root)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "golden_segments.parquet")
+    if os.path.exists(path):
+        return path
+    clips = pq.read_table(
+        os.path.join(ensure_fixtures(sf_dir, root), "clips.parquet"),
+        columns=["clip_id", "bytes", "codec", "sr_hz"],
+    )
+    ids, segs, starts, ends, nbytes, md5s = [], [], [], [], [], []
+    for cid, buf, codec, sr in zip(
+        clips.column("clip_id").to_pylist(),
+        clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(),
+        clips.column("sr_hz").to_pylist(),
+    ):
+        try:
+            pcm, _sr = independent.decode(buf, codec)
+        except Exception:  # noqa: BLE001 - decode failure => no rows
+            continue
+        sr = sr or _sr
+        frame = max(1, int(sr * FRAME_MS / 1000))
+        hop = max(1, int(sr * HOP_MS / 1000))
+        n = pcm.shape[0]
+        if n < frame:
+            continue
+        n_frames = (n - frame) // hop + 1
+        sq = pcm.astype(np.float64) ** 2
+        idx = np.arange(n_frames)[:, None] * hop + np.arange(frame)[None, :]
+        rms = np.sqrt(np.cumsum(sq[idx], axis=1)[:, -1] / float(frame))
+        rms = [_spark_round6(float(v)) for v in rms]
+        thr = max(0.1 * max(rms), 1e-4)
+        k, i = 0, 0
+        while i < n_frames:
+            if rms[i] > thr:
+                a = i
+                while i + 1 < n_frames and rms[i + 1] > thr:
+                    i += 1
+                b = i
+                k += 1
+                payload = independent.encode(pcm[a * hop : b * hop + frame], sr, "wav")
+                ids.append(cid)
+                segs.append(k)
+                starts.append(a * HOP_MS)
+                ends.append(b * HOP_MS + FRAME_MS)
+                nbytes.append(len(payload))
+                md5s.append(hashlib.md5(payload).hexdigest())
+            i += 1
+    tbl = pa.Table.from_pydict(
+        {
+            "clip_id": pa.array(ids),
+            "seg_idx": pa.array(segs, type=pa.int64()),
+            "start_ms": pa.array(starts, type=pa.int64()),
+            "end_ms": pa.array(ends, type=pa.int64()),
+            "n_bytes": pa.array(nbytes, type=pa.int64()),
+            "seg_md5": pa.array(md5s),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd")
+    return path
+
+
 def ensure_golden_pitch(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
     """Golden for the audio_pitch driver query: per DECODABLE clip with
     at least one full 640-sample analysis segment after 16 kHz

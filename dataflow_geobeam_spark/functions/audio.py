@@ -604,6 +604,117 @@ def with_frame_rms(
     )
 
 
+def segment_spans_np(rms_rounded, frame_ms: int = 100, hop_ms: int = 50):
+    """Contiguous speech runs [(a_frame, b_frame), ...] from a ROUND-6
+    frame-RMS vector — the same decision chain as the audio_vad /
+    audio_vad_segments gate: speech iff rms > max(0.1 * max(rms), 1e-4),
+    runs are maximal consecutive speech-frame intervals. Scalar scan
+    (frame counts are tiny: ~dur/hop)."""
+    thr = max(0.1 * float(max(rms_rounded)), 1e-4)
+    spans, cur = [], None
+    for i, v in enumerate(rms_rounded):
+        if v > thr:
+            cur = [i, i] if cur is None else [cur[0], i]
+        elif cur is not None:
+            spans.append(tuple(cur))
+            cur = None
+    if cur is not None:
+        spans.append(tuple(cur))
+    return spans
+
+
+def with_speech_segments(
+    df,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    frame_ms: int = 100,
+    hop_ms: int = 50,
+):
+    """Decode -> VAD -> slice -> re-encode in ONE mapInArrow pass: the
+    chunking SINK of the ASR prep chain. One input clip yields N output
+    rows (clip_id, seg_idx, start_ms, end_ms, seg_bytes) — seg_bytes is
+    the speech run's native-rate PCM span re-encoded as RIFF/WAVE PCM16,
+    the bounded utterance chunk a recognizer consumes. Row explosion
+    happens INSIDE the Arrow batch (mapInArrow output cardinality is
+    free), so full-clip PCM never crosses Arrow and silence bytes are
+    dropped at the source — at 100 TB this is also the compaction step
+    (gap bytes never reach the shuffle or the sink).
+
+    Segmentation decisions run on round-6 frame RMS — double-identical
+    to the audio_vad/audio_vad_segments gate chain (frame_rms_np) — and
+    spans cover samples [a*hop, b*hop + frame). Decode failure or a
+    sub-frame clip yields no rows (filter_invalid semantics,
+    SURVEY.md F2)."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dataflow_geobeam_spark.functions.decode import _binary_views
+
+    out_schema = StructType(
+        [
+            StructField(id_col, StringType(), False),
+            StructField("seg_idx", LongType(), False),
+            StructField("start_ms", LongType(), False),
+            StructField("end_ms", LongType(), False),
+            StructField("seg_bytes", BinaryType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        from dataflow_geobeam_spark import codecs
+
+        for batch in batches:
+            names = batch.schema.names
+            bufs = _binary_views(batch.column(names.index(bytes_col)))
+            ids = batch.column(names.index(id_col)).to_pylist()
+            codec_vals = batch.column(names.index(codec_col)).to_pylist()
+            sr_vals = batch.column(names.index(sr_col)).to_pylist()
+            out_id, out_seg, out_a, out_b, out_bytes = [], [], [], [], []
+            for cid, buf, c, sr in zip(ids, bufs, codec_vals, sr_vals):
+                try:
+                    pcm, _sr = codecs.decode(buf, c)
+                except Exception:  # noqa: BLE001 - decode failure => no rows
+                    continue
+                sr = sr or _sr
+                rms = frame_rms_np(pcm, sr, frame_ms, hop_ms)
+                if rms is None:
+                    continue
+                rms = np.floor(rms * 1e6 + 0.5) / 1e6  # gate-identical doubles
+                frame = max(1, int(sr * frame_ms / 1000))
+                hop = max(1, int(sr * hop_ms / 1000))
+                for k, (a, b) in enumerate(segment_spans_np(rms, frame_ms, hop_ms)):
+                    span = pcm[a * hop : b * hop + frame]
+                    out_id.append(cid)
+                    out_seg.append(k + 1)
+                    out_a.append(a * hop_ms)
+                    out_b.append(b * hop_ms + frame_ms)
+                    out_bytes.append(codecs.encode_wav(span, sr))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, type=pa.string()),
+                    pa.array(out_seg, type=pa.int64()),
+                    pa.array(out_a, type=pa.int64()),
+                    pa.array(out_b, type=pa.int64()),
+                    pa.array(out_bytes, type=pa.binary()),
+                ],
+                names=[id_col, "seg_idx", "start_ms", "end_ms", "seg_bytes"],
+            )
+
+    return df.mapInArrow(fn, out_schema)
+
+
 def _with_clip_vector(df, kernel, out_col: str, bytes_col: str, codec_col: str, sr_col: str):
     """Shared decode -> per-clip float-vector mapInArrow pass: appends
     ``out_col`` (array<double>, each element rounded to 6 like Spark's

@@ -382,6 +382,38 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_extract_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Utterance-chunk EXTRACTION (round 5d) — the byte-producing sink of
+    the ASR prep chain: decode -> VAD (round-6 frame RMS, the
+    audio_vad decision chain) -> slice the native-rate PCM span of each
+    contiguous speech run -> re-encode RIFF/WAVE PCM16, ALL in one
+    mapInArrow pass (functions/audio.with_speech_segments). One clip in,
+    N bounded utterance chunks out; silence bytes are dropped inside the
+    Arrow batch, before any shuffle or sink. The md5 is Catalyst's
+    md5() over the kernel's binary output, so the gate pins every
+    emitted byte.
+
+    Oracle: generation-time golden_segments.parquet — independent
+    decode, the cumsum frame-RMS spec, a scalar island scan, and the
+    independent RIFF encoder (fixtures/generate.ensure_golden_segments).
+    """
+    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_segments
+    from dataflow_geobeam_spark.functions.audio import with_speech_segments
+
+    fx = ensure_fixtures(sf_dir)
+    ensure_golden_segments(sf_dir)
+    df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
+    segs = with_speech_segments(df)
+    return segs.select(
+        "clip_id",
+        "seg_idx",
+        "start_ms",
+        "end_ms",
+        F.length("seg_bytes").cast("long").alias("n_bytes"),
+        F.md5("seg_bytes").alias("seg_md5"),
+    )
+
+
 def audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip FFT features (centroid / bandwidth / rolloff Hz) — decode +
     rfft in one mapInArrow pass (functions/audio.with_spectral_metrics).

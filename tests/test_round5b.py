@@ -439,3 +439,58 @@ def test_vad_segments_multi_segment_extraction(spark):
     assert got == want
     assert len([k for k in got if k[0] == "two"]) == 2
     assert len([k for k in got if k[0] == "one"]) == 1
+
+
+def test_extract_segments_roundtrip_and_failure_modes(spark):
+    """with_speech_segments (round 5d): each emitted chunk must decode
+    back to EXACTLY the PCM16 quantization of the source span; gap bytes
+    never appear; junk payloads and sub-frame clips yield no rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dataflow_geobeam_spark import codecs
+    from dataflow_geobeam_spark.functions.audio import (
+        frame_rms_np,
+        segment_spans_np,
+        with_speech_segments,
+    )
+
+    sr, frame, hop = 16000, 1600, 800
+    y = np.zeros(sr * 3, dtype=np.float64)
+    t = np.arange(y.size) / sr
+    for a, b in [(0.0, 1.0), (2.0, 3.0)]:
+        m = (t >= a) & (t < b)
+        y[m] = 0.5 * np.sin(2 * np.pi * 220 * t[m])
+    payload = codecs.encode(y, sr, "wav")
+    rows = [
+        ("two", payload, "wav", sr),
+        ("junk", b"nope", "wav", sr),
+        ("tiny", codecs.encode(np.zeros(100), sr, "wav"), "wav", sr),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int"
+    )
+    got = {
+        (r.clip_id, r.seg_idx): r
+        for r in with_speech_segments(df).collect()
+    }
+    assert {k[0] for k in got} == {"two"}
+    assert sorted(k[1] for k in got) == [1, 2]
+    # oracle spans from the kernel's own building blocks (scalar path)
+    pcm, _ = codecs.decode(payload, "wav")
+    rms = frame_rms_np(pcm, sr)
+    rms = np.floor(rms * 1e6 + 0.5) / 1e6
+    spans = segment_spans_np(rms)
+    assert len(spans) == 2
+    for k, (a, b) in enumerate(spans):
+        r = got[("two", k + 1)]
+        assert (r.start_ms, r.end_ms) == (a * 50, b * 50 + 100)
+        seg_pcm, seg_sr = codecs.decode(bytes(r.seg_bytes), "wav")
+        assert seg_sr == sr
+        # bit-exact: re-quantizing the source span gives the same bytes
+        assert bytes(r.seg_bytes) == codecs.encode_wav(pcm[a * hop : b * hop + frame], sr)
+    # the emitted chunks carry no silence gap: total chunk samples ~2s of 3s
+    total = sum(
+        len(codecs.decode(bytes(r.seg_bytes), "wav")[0]) for r in got.values()
+    )
+    assert total < 2.6 * sr

@@ -97,6 +97,13 @@ ANNOTATED = {
         "(HashPartitioning(clip_id) satisfies the two-column clustering) "
         "— zero extra shuffles on top of audio_vad."
     ),
+    "audio_extract_segments": (
+        "Utterance-chunk extraction (round 5d): decode -> VAD -> slice -> "
+        "RIFF re-encode in ONE MapInArrow pass (1 clip in, N chunk rows "
+        "out, silence bytes dropped inside the batch). Expect: a single "
+        "MapInArrow node over the pruned scan, md5/length projection, NO "
+        "shuffle anywhere."
+    ),
     "audio_mfcc": (
         "MFCC cepstra (round 5b). Expect: ONE MapInArrow node (decode + "
         "resample + log-mel + DCT-II + frame mean in a single Arrow "
