@@ -88,14 +88,21 @@ def stream_clips(
 ) -> DataFrame:
     """Unbounded micro-batched scan of the clips table.
 
-    File-source streaming over the same parquet files: each micro-batch
-    admits ``maxFilesPerTrigger`` files — the engine's ingestion pacing knob
-    (P4 in SURVEY.md §4). Schema must be declared for streaming reads.
+    File-source streaming over the clips rows split into N files: each
+    micro-batch admits ``maxFilesPerTrigger`` files — the engine's
+    ingestion pacing knob (P4 in SURVEY.md §4). Schema must be declared
+    for streaming reads. Spark's streaming file source requires a
+    DIRECTORY, so the single clips.parquet is split (idempotently) via
+    ``streaming.pipeline.prepare_stream_dir`` — pointing readStream at
+    the bare file fails with 'basePath must be a directory'.
     """
+    from dataflow_geobeam_spark.streaming.pipeline import prepare_stream_dir
+
+    stream_dir = prepare_stream_dir(spark, fixture_dir, n_files=8)
     df = (
         spark.readStream.schema(CLIPS_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(_path(fixture_dir, "clips"))
+        .parquet(stream_dir)
     )
     if with_bucket:
         df = df.withColumn("bucket", F.substring("clip_id", 1, 2))

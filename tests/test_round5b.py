@@ -494,3 +494,49 @@ def test_extract_segments_roundtrip_and_failure_modes(spark):
         len(codecs.decode(bytes(r.seg_bytes), "wav")[0]) for r in got.values()
     )
     assert total < 2.6 * sr
+
+
+def test_extract_segments_streaming_equals_batch(spark, tmp_path):
+    """with_speech_segments is stateless per clip, so it runs UNCHANGED
+    on a streaming scan: an availableNow pass over the micro-batched
+    clips stream must emit exactly the batch operator's chunk set
+    (clip_id, seg_idx, start_ms, end_ms, md5) — ingest-time utterance
+    chunking, no state store, no watermark needed."""
+    from pyspark.sql import functions as F
+
+    from dataflow_geobeam_spark.fixtures import ensure_fixtures
+    from dataflow_geobeam_spark.functions.audio import with_speech_segments
+    from dataflow_geobeam_spark.sources.clips import CLIPS_SCHEMA, read_clips
+    from dataflow_geobeam_spark.streaming.pipeline import prepare_stream_dir
+
+    fx = ensure_fixtures("/root/testdata/sf0.001")
+    stream_dir = prepare_stream_dir(spark, fx, n_files=4)
+
+    def project(segs):
+        return segs.select(
+            "clip_id", "seg_idx", "start_ms", "end_ms", F.md5("seg_bytes").alias("m")
+        )
+
+    cols = ("clip_id", "bytes", "codec", "sr_hz")
+    batch = {
+        tuple(r)
+        for r in project(
+            with_speech_segments(read_clips(spark, fx, columns=cols))
+        ).collect()
+    }
+    stream = (
+        spark.readStream.schema(CLIPS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    out = project(with_speech_segments(stream.select(*cols)))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("seg_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {tuple(r) for r in spark.sql("select * from seg_stream_test").collect()}
+    assert got == batch and len(batch) > 0
