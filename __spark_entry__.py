@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_extract_segments": audio.audio_extract_segments,
         "audio_spectral": audio.audio_spectral,
         "audio_near_dups": audio.audio_near_dups,
+        "audio_fp_match": audio.audio_fp_match,
         "audio_resample_16k": audio.audio_resample_16k,
         "audio_mel_features": audio.audio_mel_features,
         "audio_mfcc": audio.audio_mfcc,
@@ -209,6 +210,11 @@ def oracle_sql() -> dict[str, str]:
     from dataflow_geobeam_spark.fixtures.generate import ensure_golden_audio_near_dups
 
     ensure_golden_audio_near_dups("/root/testdata/sf0.01")
+    # round-5e: query-by-example fingerprint retrieval golden (exhaustive
+    # independent inverted-index vote over the snippet fixture)
+    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_fp_match
+
+    ensure_golden_fp_match("/root/testdata/sf0.01")
     from dataflow_geobeam_spark.fixtures.generate import (
         ensure_golden_mel,
         ensure_golden_mfcc,
@@ -519,6 +525,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_near_dups": f"""
             SELECT id_a, id_b, ber
             FROM read_parquet('{FIXTURES_SF01}/golden_audio_near_dups.parquet')
+        """,
+        "audio_fp_match": f"""
+            SELECT query_id, clip_id, offset_frames, votes
+            FROM read_parquet('{FIXTURES_SF01}/golden_fp_match.parquet')
         """,
         "audio_resample_16k": f"""
             SELECT clip_id, n_samples, pcm16_md5

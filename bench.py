@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     # byte-producing utterance-chunk sink
     "audio_vad_segments",
     "audio_extract_segments",
+    # round-5e: query-by-example fingerprint retrieval (inverted-index
+    # bigram keys + broadcast offset vote) over the full sf0.1 corpus
+    "audio_fp_match",
 ]
 
 

@@ -1445,3 +1445,133 @@ def ensure_golden_pitch(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
     )
     pq.write_table(tbl, path, compression="zstd")
     return path
+
+
+def ensure_fp_queries(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+    """Query-snippet fixture for the fingerprint QBE retrieval query
+    (operators/retrieval.py): every 7th clip (i % 7 == 1) that decodes and
+    is long enough donates a ~1.2 s slice starting on an even frame-hop
+    boundary, alternately at unit gain (bit-exact token subsequence after
+    the PCM16 re-encode round-trip) and at gain 0.5 (gain-invariance plus
+    a deterministic half-LSB requantization dither — the realistic case),
+    re-encoded as a RIFF/WAVE upload.
+
+    Schema: (query_id string, bytes binary, sr_hz int32, codec string,
+    ts timestamp) — the snippet table a retrieval service would ingest.
+    All slicing uses the INDEPENDENT decoder so the fixture never touches
+    engine kernels.
+    """
+    out_dir = fixtures_dir_for(sf_dir, root)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "fp_queries.parquet")
+    if os.path.exists(path):
+        return path
+    clips = pq.read_table(
+        os.path.join(ensure_fixtures(sf_dir, root), "clips.parquet"),
+        columns=["clip_id", "bytes", "codec", "sr_hz", "ts"],
+    )
+    qids, bufs, srs, tss = [], [], [], []
+    for cid, buf, codec, sr, ts in zip(
+        clips.column("clip_id").to_pylist(),
+        clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(),
+        clips.column("sr_hz").to_pylist(),
+        clips.column("ts").to_pylist(),
+    ):
+        i = int(cid[2:])
+        if i % 7 != 1:
+            continue
+        try:
+            pcm, _sr = independent.decode(buf, codec)
+        except Exception:  # noqa: BLE001 - undecodable donor => no snippet
+            continue
+        sr = sr or _sr
+        frame = int(round(sr * 0.064))
+        hop = frame // 2
+        snip_len = int(round(sr * 1.2))
+        start = 2 * ((i // 7) % 4) * hop  # even-hop boundary => aligned frames
+        if hop <= 0 or start + snip_len > pcm.shape[0]:
+            continue
+        gain = np.float32(1.0) if (i // 7) % 2 == 0 else np.float32(0.5)
+        snippet = pcm[start : start + snip_len] * gain
+        qids.append(f"q{i:012d}")
+        bufs.append(independent.encode(snippet, sr, "wav"))
+        srs.append(sr)
+        tss.append(ts + timedelta(milliseconds=50))
+    tbl = pa.Table.from_pydict(
+        {
+            "query_id": pa.array(qids),
+            "bytes": pa.array(bufs, type=pa.binary()),
+            "sr_hz": pa.array(srs, type=pa.int32()),
+            "codec": pa.array(["wav"] * len(qids)),
+            "ts": pa.array(tss, type=pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd")
+    return path
+
+
+def ensure_golden_fp_match(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+    """Golden for the audio_fp_match driver query: exhaustive mirror of the
+    bigram-key offset vote (operators/retrieval.py) in plain Python dicts —
+    independent.decode + independent.audio_fingerprint on BOTH sides, a full
+    corpus inverted index (no capping, no sampling), top-1 per query with
+    the (votes desc, clip_id asc, offset asc) tiebreak, min 4 votes."""
+    out_dir = fixtures_dir_for(sf_dir, root)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "golden_fp_match.parquet")
+    if os.path.exists(path):
+        return path
+    clips = pq.read_table(
+        os.path.join(ensure_fixtures(sf_dir, root), "clips.parquet"),
+        columns=["clip_id", "bytes", "codec", "sr_hz"],
+    )
+    index: dict[int, list[tuple[str, int]]] = {}
+    for cid, buf, codec, sr in zip(
+        clips.column("clip_id").to_pylist(),
+        clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(),
+        clips.column("sr_hz").to_pylist(),
+    ):
+        try:
+            pcm, _sr = independent.decode(buf, codec)
+        except Exception:  # noqa: BLE001 - engine nulls these too
+            continue
+        toks = independent.audio_fingerprint(pcm, sr or _sr)
+        for t in range(len(toks) - 1):
+            index.setdefault((toks[t] << 16) | toks[t + 1], []).append((cid, t))
+    queries = pq.read_table(ensure_fp_queries(sf_dir, root))
+    qids, cids, offs, votes_out = [], [], [], []
+    for qid, buf, sr in zip(
+        queries.column("query_id").to_pylist(),
+        queries.column("bytes").to_pylist(),
+        queries.column("sr_hz").to_pylist(),
+    ):
+        pcm, _sr = independent.decode(buf, "wav")
+        toks = independent.audio_fingerprint(pcm, sr or _sr)
+        votes: dict[tuple[str, int], int] = {}
+        for qt in range(len(toks) - 1):
+            for cid, t in index.get((toks[qt] << 16) | toks[qt + 1], ()):
+                pair = (cid, t - qt)
+                votes[pair] = votes.get(pair, 0) + 1
+        if not votes:
+            continue
+        (cid, off), n = min(
+            votes.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 4:
+            continue
+        qids.append(qid)
+        cids.append(cid)
+        offs.append(off)
+        votes_out.append(n)
+    tbl = pa.Table.from_pydict(
+        {
+            "query_id": pa.array(qids),
+            "clip_id": pa.array(cids),
+            "offset_frames": pa.array(offs, type=pa.int64()),
+            "votes": pa.array(votes_out, type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd")
+    return path

@@ -582,3 +582,40 @@ def audio_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pitch_stats")[1].alias("voiced_ratio"),
         )
     )
+
+
+def audio_fp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-example retrieval (round 5): which corpus clip (and frame
+    offset) was each query snippet cut from? Corpus clips get Haitsma-
+    Kalker frame tokens in ONE decode+fingerprint mapInArrow pass
+    (functions/audio.with_fingerprints), token BIGRAMS become 32-bit
+    inverted-index keys in pure Catalyst, the small snippet side is
+    broadcast, and matches vote on offset = t_corpus - t_query
+    (operators/retrieval.fp_match_top1 — the Shazam-style landmark vote).
+    Snippets are volume-shifted (gain 0.5) on half the fixture, exercising
+    the tokens' gain invariance end to end.
+
+    Oracle: generation-time golden_fp_match.parquet — an exhaustive
+    un-capped inverted-index vote over INDEPENDENT fingerprints of
+    independently decoded payloads (fixtures/generate.ensure_golden_fp_match).
+
+    100 TB shape: the corpus pass is map-only (payload dropped in-pass;
+    in production the (key, clip_id, t) index is written once, bucketed by
+    key); the broadcast match adds zero corpus shuffle; only matched rows
+    (~hundreds per query) reach the vote exchange.
+    """
+    from dataflow_geobeam_spark.fixtures.generate import ensure_fp_queries
+    from dataflow_geobeam_spark.functions.audio import with_fingerprints
+    from dataflow_geobeam_spark.operators.retrieval import fp_match_top1
+
+    fx = ensure_fixtures(sf_dir)
+    corpus = read_clips(
+        spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"), with_bucket=False
+    )
+    queries = spark.read.parquet(ensure_fp_queries(sf_dir)).select(
+        "query_id", "bytes", "codec", "sr_hz"
+    )
+    return fp_match_top1(
+        with_fingerprints(corpus, bytes_col="bytes"),
+        with_fingerprints(queries, bytes_col="bytes"),
+    ).select("query_id", "clip_id", "offset_frames", "votes")

@@ -1,0 +1,117 @@
+"""Round-5e: query-by-example audio fingerprint retrieval
+(operators/retrieval.py + plans/audio.audio_fp_match).
+
+Covers the kernel-level subsequence invariant the operator relies on, the
+Catalyst bigram-key expression vs a numpy mirror, end-to-end equality with
+the exhaustive independent golden, and the plan contract (query side
+broadcast, no cartesian product).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def test_snippet_tokens_are_exact_corpus_subsequence():
+    """A hop-aligned slice re-encoded through PCM16 yields tokens equal to
+    the corpus token subsequence at the slice's hop index — at unit gain
+    bit-exactly, and at gain 0.5 (exact in float32) likewise, because every
+    band energy scales by 0.25 and the sign decisions are scale-invariant."""
+    from dataflow_geobeam_spark.audio_synth import synth_pcm
+    from dataflow_geobeam_spark.fixtures import independent
+
+    sr = 16000
+    pcm, _ = independent.decode(
+        independent.encode(synth_pcm(12345, sr, 2400), sr, "wav"), "wav"
+    )
+    full = independent.audio_fingerprint(pcm, sr)
+    frame = int(round(sr * 0.064))
+    hop = frame // 2
+    for k_hops, gain in ((2, 1.0), (4, 0.5)):
+        snip = pcm[k_hops * hop : k_hops * hop + int(round(sr * 1.2))] * np.float32(gain)
+        rt, _ = independent.decode(independent.encode(snip, sr, "wav"), "wav")
+        toks = independent.audio_fingerprint(rt, sr)
+        assert len(toks) >= 30
+        assert toks == full[k_hops : k_hops + len(toks)]
+
+
+def test_fp_bigram_keys_matches_numpy(spark):
+    """The zip_with/slice bigram expression assembles the same 32-bit keys
+    as the golden generator's (tok[t] << 16) | tok[t+1]."""
+    from pyspark.sql import functions as F
+
+    from dataflow_geobeam_spark.operators.retrieval import fp_bigram_keys
+
+    rows = [([5, 65535, 0, 1234],), ([7],), ([],), (None,)]
+    df = spark.createDataFrame(rows, "fp: array<int>")
+    got = [r[0] for r in df.select(fp_bigram_keys("fp").alias("k")).collect()]
+    assert got[0] == [(5 << 16) | 65535, (65535 << 16) | 0, (0 << 16) | 1234]
+    assert got[1] == [] and got[2] == [] and got[3] is None
+    # keys stay inside codegen: no python UDF node in the plan
+    plan = df.select(fp_bigram_keys("fp"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_audio_fp_match_equals_independent_golden(spark, sf_dir):
+    """End to end vs the exhaustive mirror: every fixture snippet resolves
+    to its true donor clip at the planted hop offset."""
+    import duckdb
+
+    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_fp_match
+    from dataflow_geobeam_spark.plans.audio import audio_fp_match
+
+    golden = ensure_golden_fp_match(sf_dir)
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"SELECT query_id, clip_id, offset_frames, votes FROM read_parquet('{golden}')"
+        ).fetchall()
+    }
+    got = {tuple(r) for r in audio_fp_match(spark, sf_dir).collect()}
+    assert got == want and len(got) >= 20
+    # the retrieval is not vacuous: donor id is embedded in the query id
+    assert all(q[1:] == c[2:] for q, c, _, _ in got)
+
+
+def test_fp_match_plan_broadcasts_queries_no_cartesian(spark, sf_dir):
+    from dataflow_geobeam_spark.plans.audio import audio_fp_match
+
+    df = audio_fp_match(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # corpus index must not shuffle to match
+
+
+def test_fp_match_min_votes_drops_unconfident(spark):
+    """A query sharing no content with the corpus yields no row (its best
+    chance-collision cell stays under min_votes)."""
+    from dataflow_geobeam_spark.audio_synth import synth_pcm
+    from dataflow_geobeam_spark.fixtures import independent
+    from dataflow_geobeam_spark.operators.retrieval import fp_match_top1
+
+    sr = 16000
+    corpus_rows = [
+        (f"c{i}", independent.audio_fingerprint(
+            independent.decode(
+                independent.encode(synth_pcm(i, sr, 1500), sr, "wav"), "wav"
+            )[0],
+            sr,
+        ))
+        for i in range(5)
+    ]
+    alien = independent.audio_fingerprint(
+        independent.decode(
+            independent.encode(synth_pcm(99999, sr, 1500), sr, "wav"), "wav"
+        )[0],
+        sr,
+    )
+    corpus = spark.createDataFrame(corpus_rows, "clip_id: string, fp: array<int>")
+    queries = spark.createDataFrame(
+        [("q_alien", alien), ("q_hit", corpus_rows[2][1][3:25])],
+        "query_id: string, fp: array<int>",
+    )
+    got = {r["query_id"]: r for r in fp_match_top1(corpus, queries).collect()}
+    assert "q_alien" not in got
+    assert got["q_hit"]["clip_id"] == "c2" and got["q_hit"]["offset_frames"] == 3
