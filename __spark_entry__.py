@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral": audio.audio_spectral,
         "audio_near_dups": audio.audio_near_dups,
         "audio_fp_match": audio.audio_fp_match,
+        "audio_fp_match_stream": audio.audio_fp_match_stream,
         "audio_resample_16k": audio.audio_resample_16k,
         "audio_mel_features": audio.audio_mel_features,
         "audio_mfcc": audio.audio_mfcc,
@@ -527,6 +528,10 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{FIXTURES_SF01}/golden_audio_near_dups.parquet')
         """,
         "audio_fp_match": f"""
+            SELECT query_id, clip_id, offset_frames, votes
+            FROM read_parquet('{FIXTURES_SF01}/golden_fp_match.parquet')
+        """,
+        "audio_fp_match_stream": f"""
             SELECT query_id, clip_id, offset_frames, votes
             FROM read_parquet('{FIXTURES_SF01}/golden_fp_match.parquet')
         """,

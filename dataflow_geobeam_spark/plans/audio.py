@@ -619,3 +619,60 @@ def audio_fp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_fingerprints(corpus, bytes_col="bytes"),
         with_fingerprints(queries, bytes_col="bytes"),
     ).select("query_id", "clip_id", "offset_frames", "votes")
+
+
+def audio_fp_match_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING form of audio_fp_match, in the hash gate: the snippet
+    table arrives as paced availableNow micro-batches (4 files, 1 per
+    trigger), each batch is fingerprinted and resolved against a
+    MATERIALIZED static corpus index with the exact batch operator inside
+    foreachBatch (exact per-batch semantics — a snippet is wholly
+    contained in its row, so votes never span batches), and every epoch
+    commits through the exactly-once manifest sink. Returns the COMMITTED
+    match set — identical rows to the batch query, so the DuckDB oracle
+    is the same exhaustive independent golden.
+    """
+    import os
+    import tempfile
+
+    import pyarrow.parquet as papq
+
+    from dataflow_geobeam_spark.fixtures.generate import ensure_fp_queries
+    from dataflow_geobeam_spark.functions.audio import with_fingerprints
+    from dataflow_geobeam_spark.streaming.extras import fp_match_stream_vs_corpus
+    from dataflow_geobeam_spark.streaming.sink import ExactlyOnceParquetSink
+
+    fx = ensure_fixtures(sf_dir)
+    corpus = read_clips(
+        spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"), with_bucket=False
+    )
+    # decode+fingerprint ONCE; foreachBatch re-plans static sides per epoch
+    corpus_fp = (
+        with_fingerprints(corpus)
+        .where(F.col("fp").isNotNull())
+        .select("clip_id", "fp")
+        .localCheckpoint(eager=True)
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_fpmatch_stream_")
+    stream_dir = os.path.join(base, "queries")
+    os.makedirs(stream_dir)
+    tbl = papq.read_table(ensure_fp_queries(sf_dir))
+    n_files = 4
+    step = max(1, (tbl.num_rows + n_files - 1) // n_files)
+    for k in range(n_files):
+        part = tbl.slice(k * step, step)
+        if part.num_rows:
+            papq.write_table(part, os.path.join(stream_dir, f"part-{k:02d}.parquet"))
+    stream = spark.readStream.schema(
+        "query_id string, bytes binary, sr_hz int, codec string, ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(stream_dir)
+    sink = ExactlyOnceParquetSink(os.path.join(base, "table"))
+    query = fp_match_stream_vs_corpus(
+        stream, corpus_fp, sink, os.path.join(base, "ckpt")
+    )
+    if not query.awaitTermination(600):
+        query.stop()
+        raise TimeoutError("fp-match streaming gate query did not drain in 600s")
+    return sink.read_latest(spark, ["query_id"]).select(
+        "query_id", "clip_id", "offset_frames", "votes"
+    )

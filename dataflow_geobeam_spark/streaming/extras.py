@@ -354,3 +354,55 @@ def audio_near_dup_stream_vs_corpus(
         .select("stream_id", "corpus_id", "ber")
         .dropDuplicates(["stream_id", "corpus_id"])
     )
+
+
+def fp_match_stream_vs_corpus(
+    stream_queries: DataFrame,
+    corpus_fp: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    min_votes: int = 4,
+    available_now: bool = True,
+):
+    """STREAMING query-by-example retrieval: snippets arrive as a stream
+    and are resolved against a static corpus fingerprint index — the
+    serving form of ``plans/audio.audio_fp_match`` (a recognition service
+    answering "which catalog clip is this?" per uploaded snippet).
+
+    Every snippet is wholly contained in its own stream row, so its
+    bigram votes NEVER span micro-batches — per-batch matching with the
+    exact BATCH operator (``operators.retrieval.fp_match_top1``, window
+    top-1 and all) inside ``foreachBatch`` is semantically exact, not an
+    approximation; no streaming state is needed beyond the sink's epoch
+    protocol. Each epoch commits idempotently through the exactly-once
+    sink, so a kill/restart replays to the identical committed match set.
+
+    ``corpus_fp`` = (clip_id, fp) and MUST be materialized by the caller
+    (persist/localCheckpoint/parquet): foreachBatch re-evaluates the
+    static side per epoch, and the corpus decode+FFT pass must not rerun
+    per micro-batch.
+
+    Returns the started StreamingQuery; read matches back via
+    ``sink.read_latest(spark, ["query_id"])``.
+    """
+    from dataflow_geobeam_spark.functions.audio import with_fingerprints
+    from dataflow_geobeam_spark.operators.retrieval import fp_match_top1
+
+    def _fn(batch_df: DataFrame, epoch_id: int) -> None:
+        matched = fp_match_top1(
+            corpus_fp,
+            with_fingerprints(batch_df),
+            min_votes=min_votes,
+        ).select("query_id", "clip_id", "offset_frames", "votes")
+        sink.write_batch(matched, epoch_id)
+
+    writer = (
+        stream_queries.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_fn)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="2 seconds")
+    return writer.start()

@@ -115,3 +115,14 @@ def test_fp_match_min_votes_drops_unconfident(spark):
     got = {r["query_id"]: r for r in fp_match_top1(corpus, queries).collect()}
     assert "q_alien" not in got
     assert got["q_hit"]["clip_id"] == "c2" and got["q_hit"]["offset_frames"] == 3
+
+
+def test_audio_fp_match_stream_equals_batch(spark, sf_dir):
+    """The streaming serving form (paced micro-batches -> foreachBatch
+    batch-operator match -> exactly-once sink) commits exactly the batch
+    query's rows, across multiple epochs."""
+    from dataflow_geobeam_spark.plans.audio import audio_fp_match, audio_fp_match_stream
+
+    got = {tuple(r) for r in audio_fp_match_stream(spark, sf_dir).collect()}
+    want = {tuple(r) for r in audio_fp_match(spark, sf_dir).collect()}
+    assert got == want and len(got) >= 20
