@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_vad": audio.audio_vad,
         "audio_vad_segments": audio.audio_vad_segments,
         "audio_extract_segments": audio.audio_extract_segments,
+        "audio_align_tokens": audio.audio_align_tokens,
         "audio_spectral": audio.audio_spectral,
         "audio_near_dups": audio.audio_near_dups,
         "audio_fp_match": audio.audio_fp_match,
@@ -522,6 +523,37 @@ def oracle_sql() -> dict[str, str]:
         "audio_extract_segments": f"""
             SELECT clip_id, seg_idx, start_ms, end_ms, n_bytes, seg_md5
             FROM read_parquet('{FIXTURES_SF01}/golden_segments.parquet')
+        """,
+        "audio_align_tokens": f"""
+            WITH segs AS (
+              SELECT clip_id, seg_idx, start_ms,
+                     end_ms - start_ms AS d,
+                     coalesce(sum(end_ms - start_ms) OVER (
+                       PARTITION BY clip_id ORDER BY seg_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS c_before,
+                     sum(end_ms - start_ms) OVER (PARTITION BY clip_id) AS t
+              FROM read_parquet('{FIXTURES_SF01}/golden_segments.parquet')
+            ), toks AS (
+              SELECT clip_id,
+                     unnest(arr) AS token,
+                     generate_subscripts(arr, 1) - 1 AS tok_idx,
+                     len(arr) AS n
+              FROM (
+                SELECT clip_id,
+                       regexp_split_to_array(trim(transcript), '\\s+') AS arr
+                FROM {_GOLDEN} WHERE trim(transcript) <> ''
+              )
+            )
+            SELECT toks.clip_id AS clip_id,
+                   CAST(tok_idx AS INTEGER) AS tok_idx,
+                   token,
+                   seg_idx,
+                   round(start_ms + CAST(tok_idx * t AS DOUBLE) / n - c_before, 6)
+                     AS t_start_ms
+            FROM toks JOIN segs ON toks.clip_id = segs.clip_id
+            WHERE c_before <= CAST(tok_idx * t AS DOUBLE) / n
+              AND CAST(tok_idx * t AS DOUBLE) / n < c_before + d
         """,
         "audio_near_dups": f"""
             SELECT id_a, id_b, ber

@@ -676,3 +676,30 @@ def audio_fp_match_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_latest(spark, ["query_id"]).select(
         "query_id", "clip_id", "offset_frames", "votes"
     )
+
+
+def audio_align_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-to-audio pseudo-alignment (round 5): every transcript token
+    gets a provisional absolute start time inside its clip's VAD speech
+    timeline — silence excluded — by proportional division (token i of n
+    owns speech-time [i*T/n, (i+1)*T/n)). Segments come from the already
+    hash-gated VAD chain (audio_vad_segments); tokens from the clips
+    table's transcript column; the mapping is operators/alignment.py —
+    pure Catalyst (windows + posexplode + equi-join with containment
+    filter).
+
+    Oracle: the IDENTICAL arithmetic in DuckDB over the independent
+    golden_segments + golden_clips tables — a true SQL mirror, no golden
+    dump, so the two engines' window/join/division semantics are compared
+    end to end.
+    """
+    from dataflow_geobeam_spark.operators.alignment import align_tokens_to_segments
+
+    fx = ensure_fixtures(sf_dir)
+    segs = audio_vad_segments(spark, sf_dir).select(
+        "clip_id", "seg_idx", "start_ms", "end_ms"
+    )
+    transcripts = read_clips(
+        spark, fx, columns=("clip_id", "transcript"), with_bucket=False
+    )
+    return align_tokens_to_segments(segs, transcripts)

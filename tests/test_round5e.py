@@ -126,3 +126,60 @@ def test_audio_fp_match_stream_equals_batch(spark, sf_dir):
     got = {tuple(r) for r in audio_fp_match_stream(spark, sf_dir).collect()}
     want = {tuple(r) for r in audio_fp_match(spark, sf_dir).collect()}
     assert got == want and len(got) >= 20
+
+
+def test_align_tokens_hand_built_exact(spark):
+    """Two speech segments (300 ms + 100 ms of speech, a silence gap
+    between), 4 tokens: token spans are T/n = 100 ms of SPEECH time each,
+    so tokens 0-2 start inside segment 1 at 100 ms strides and token 3
+    starts at the second segment's opening edge — silence never owns a
+    token."""
+    from dataflow_geobeam_spark.operators.alignment import align_tokens_to_segments
+
+    segs = spark.createDataFrame(
+        [("c1", 1, 200, 500), ("c1", 2, 900, 1000)],
+        "clip_id string, seg_idx long, start_ms long, end_ms long",
+    )
+    tr = spark.createDataFrame(
+        [("c1", "  a b c d "), ("c_nosegs", "x y"), ("c1_pad", "   ")],
+        "clip_id string, transcript string",
+    )
+    got = {
+        r["tok_idx"]: (r["token"], r["seg_idx"], r["t_start_ms"])
+        for r in align_tokens_to_segments(segs, tr).collect()
+    }
+    assert got == {
+        0: ("a", 1, 200.0),
+        1: ("b", 1, 300.0),
+        2: ("c", 1, 400.0),
+        3: ("d", 2, 900.0),
+    }
+
+
+def test_align_tokens_invariants(spark, sf_dir):
+    """Every aligned token lands inside its segment's [start, end) span,
+    clips emit exactly their transcript token count (when they have any
+    speech segment), and tok_idx is a gapless 0..n-1 run."""
+    from pyspark.sql import functions as F
+
+    from dataflow_geobeam_spark.plans.audio import audio_align_tokens, audio_vad_segments
+
+    out = audio_align_tokens(spark, sf_dir)
+    segs = audio_vad_segments(spark, sf_dir).select(
+        "clip_id", "seg_idx", "start_ms", "end_ms"
+    )
+    j = out.join(segs, ["clip_id", "seg_idx"])
+    bad = j.where(
+        (F.col("t_start_ms") < F.col("start_ms"))
+        | (F.col("t_start_ms") >= F.col("end_ms"))
+    ).count()
+    assert bad == 0
+    per_clip = out.groupBy("clip_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("tok_idx").alias("lo"),
+        F.max("tok_idx").alias("hi"),
+    )
+    holes = per_clip.where(
+        (F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)
+    ).count()
+    assert holes == 0 and out.count() > 500
