@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_vad": audio.audio_vad,
         "audio_vad_segments": audio.audio_vad_segments,
         "audio_extract_segments": audio.audio_extract_segments,
+        "audio_augment_noise": audio.audio_augment_noise,
         "audio_align_tokens": audio.audio_align_tokens,
         "audio_spectral": audio.audio_spectral,
         "audio_near_dups": audio.audio_near_dups,
@@ -217,6 +218,11 @@ def oracle_sql() -> dict[str, str]:
     from dataflow_geobeam_spark.fixtures.generate import ensure_golden_fp_match
 
     ensure_golden_fp_match("/root/testdata/sf0.01")
+    # round-5e: deterministic noise-augmentation golden (independent
+    # decode + scalar mix loop + independent RIFF encoder)
+    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_augment
+
+    ensure_golden_augment("/root/testdata/sf0.01")
     from dataflow_geobeam_spark.fixtures.generate import (
         ensure_golden_mel,
         ensure_golden_mfcc,
@@ -523,6 +529,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_extract_segments": f"""
             SELECT clip_id, seg_idx, start_ms, end_ms, n_bytes, seg_md5
             FROM read_parquet('{FIXTURES_SF01}/golden_segments.parquet')
+        """,
+        "audio_augment_noise": f"""
+            SELECT clip_id, n_samples, aug_md5
+            FROM read_parquet('{FIXTURES_SF01}/golden_augment.parquet')
         """,
         "audio_align_tokens": f"""
             WITH segs AS (

@@ -1575,3 +1575,51 @@ def ensure_golden_fp_match(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> st
     )
     pq.write_table(tbl, path, compression="zstd")
     return path
+
+
+def ensure_golden_augment(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+    """Golden for the audio_augment_noise driver query: per decodable clip,
+    the md5 of the RIFF/WAVE PCM16 re-encode of the deterministically
+    noise-mixed signal (independent.decode + independent.augment_noise +
+    independent.encode — the engine's codecs module never touches these
+    bytes; the noise generator seed spec is shared, the arithmetic is
+    independently re-implemented scalar-wise)."""
+    import hashlib
+    import zlib as _zlib
+
+    out_dir = fixtures_dir_for(sf_dir, root)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "golden_augment.parquet")
+    if os.path.exists(path):
+        return path
+    clips = pq.read_table(
+        os.path.join(ensure_fixtures(sf_dir, root), "clips.parquet"),
+        columns=["clip_id", "bytes", "codec", "sr_hz"],
+    )
+    ids, ns, md5s = [], [], []
+    for cid, buf, codec, sr in zip(
+        clips.column("clip_id").to_pylist(),
+        clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(),
+        clips.column("sr_hz").to_pylist(),
+    ):
+        try:
+            pcm, _sr = independent.decode(buf, codec)
+        except Exception:  # noqa: BLE001 - decode failure => no row
+            continue
+        mixed = independent.augment_noise(
+            pcm, sr or _sr, _zlib.crc32(cid.encode("utf-8"))
+        )
+        payload = independent.encode(mixed, sr or _sr, "wav")
+        ids.append(cid)
+        ns.append(mixed.shape[0])
+        md5s.append(hashlib.md5(payload).hexdigest())
+    tbl = pa.Table.from_pydict(
+        {
+            "clip_id": pa.array(ids),
+            "n_samples": pa.array(ns, type=pa.int64()),
+            "aug_md5": pa.array(md5s),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd")
+    return path

@@ -737,3 +737,33 @@ def pitch_stats(pcm, sr_hz: int):
             n_voiced += 1
     f0_mean = acc / float(n_voiced) if n_voiced else 0.0
     return np.array([f0_mean, n_voiced / float(n_frames)])
+
+
+def augment_noise(pcm, sr_hz: int, key: int, snr_db: float = 15.0):
+    """Independent mirror of functions/audio.augment_noise_np: same shared
+    random SOURCE (``default_rng([20260818, key]).standard_normal`` — the
+    all_planes precedent: the generator is part of the spec), but the
+    arithmetic re-implemented scalar-wise — explicit left-to-right power
+    accumulation (matches the engine's cumsum fold bit for bit) and a
+    per-sample mix/clip loop."""
+    import math
+
+    x = np.asarray(pcm, dtype=np.float64)
+    n = x.shape[0]
+    if n == 0:
+        return x
+    noise = np.random.default_rng([20260818, int(key)]).standard_normal(n)
+    acc = 0.0
+    for i in range(n):
+        acc = acc + x[i] * x[i]
+    p = float(acc) / n
+    a = math.sqrt(p / (10.0 ** (snr_db / 10.0)))
+    out = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        v = x[i] + a * noise[i]
+        if v > 1.0:
+            v = 1.0
+        elif v < -1.0:
+            v = -1.0
+        out[i] = v
+    return out

@@ -890,3 +890,111 @@ def with_pitch_stats(
     return _with_clip_vector(
         df, pitch_stats_np, "pitch_stats", bytes_col, codec_col, sr_col
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5e: deterministic noise-mix augmentation (ASR training-data aug)
+# ---------------------------------------------------------------------------
+
+AUG_SEED = 20260818  # shared random-source seed (engine + independent mirror)
+
+
+def augment_noise_np(pcm, key: int, snr_db: float = 15.0):
+    """Mix white Gaussian noise into a clip at a target SNR —
+    deterministically, so the augmented corpus is reproducible run to run
+    and node to node (the property a distributed training-data pipeline
+    needs: re-running a failed partition must regenerate identical bytes).
+
+    Exact arithmetic spec (shared with fixtures/independent.augment_noise;
+    same contract as resample_linear_np):
+
+    * noise ~ ``np.random.default_rng([AUG_SEED, key]).standard_normal(n)``
+      — the shared random SOURCE (the all_planes / ivf_centroids
+      precedent); ``key`` is derived from the clip_id so each clip gets
+      its own reproducible noise;
+    * signal power ``p = cumsum(x*x)[-1] / n`` in float64 — prefix-sum
+      accumulation, sequentially identical to the mirror's scalar
+      left-to-right walk (the frame_rms_np trick);
+    * scale ``a = math.sqrt(p / 10**(snr_db/10))`` (silent clip => a=0,
+      output unchanged);
+    * ``out[i] = clip(x[i] + a*noise[i], -1, 1)`` — elementwise IEEE ops,
+      order-free.
+    """
+    import math
+
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.size == 0:
+        return x
+    rng = np.random.default_rng([AUG_SEED, int(key)])
+    noise = rng.standard_normal(x.size)
+    p = float(np.cumsum(x * x)[-1]) / x.size
+    a = math.sqrt(p / (10.0 ** (snr_db / 10.0)))
+    return np.clip(x + a * noise, -1.0, 1.0)
+
+
+def with_augmented_noise(
+    df,
+    snr_db: float = 15.0,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+):
+    """Decode -> deterministic noise mix -> RIFF/WAVE re-encode in ONE
+    mapInArrow pass: the augmentation stage of an ASR training pipeline
+    (each clip gains a reproducible noisy copy keyed by its own id).
+    Output: (clip_id, n_samples, aug) — ``aug`` the augmented PCM16 wav
+    bytes; decode failure yields no row (filter_invalid semantics)."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dataflow_geobeam_spark.functions.decode import _binary_views
+
+    out_schema = StructType(
+        [
+            StructField(id_col, StringType(), False),
+            StructField("n_samples", LongType(), False),
+            StructField("aug", BinaryType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from dataflow_geobeam_spark import codecs
+
+        for batch in batches:
+            names = batch.schema.names
+            bufs = _binary_views(batch.column(names.index(bytes_col)))
+            ids = batch.column(names.index(id_col)).to_pylist()
+            codec_vals = batch.column(names.index(codec_col)).to_pylist()
+            sr_vals = batch.column(names.index(sr_col)).to_pylist()
+            out_id, out_n, out_bytes = [], [], []
+            for cid, buf, c, sr in zip(ids, bufs, codec_vals, sr_vals):
+                try:
+                    pcm, _sr = codecs.decode(buf, c)
+                except Exception:  # noqa: BLE001 - decode failure => no row
+                    continue
+                mixed = augment_noise_np(pcm, zlib.crc32(cid.encode("utf-8")), snr_db)
+                out_id.append(cid)
+                out_n.append(mixed.shape[0])
+                out_bytes.append(codecs.encode_wav(mixed, sr or _sr))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, type=pa.string()),
+                    pa.array(out_n, type=pa.int64()),
+                    pa.array(out_bytes, type=pa.binary()),
+                ],
+                names=[id_col, "n_samples", "aug"],
+            )
+
+    return df.mapInArrow(fn, out_schema)

@@ -703,3 +703,33 @@ def audio_align_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, fx, columns=("clip_id", "transcript"), with_bucket=False
     )
     return align_tokens_to_segments(segs, transcripts)
+
+
+def audio_augment_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic noise-mix AUGMENTATION (round 5e) — the data-growth
+    stage of an ASR training pipeline: every decodable clip gains a
+    reproducible white-noise copy at 15 dB SNR, decode -> mix -> RIFF
+    PCM16 re-encode in ONE mapInArrow pass
+    (functions/audio.with_augmented_noise). The noise is keyed by
+    crc32(clip_id) under a shared seed, so a re-run of any failed
+    partition regenerates byte-identical output — the property that makes
+    augmentation safe under Spark task retries at 100 TB. The md5 is
+    Catalyst's md5() over the kernel's binary output, pinning every
+    emitted byte.
+
+    Oracle: generation-time golden_augment.parquet — independent decode,
+    a scalar left-to-right power accumulation + per-sample mix/clip loop,
+    and the independent RIFF encoder (fixtures/generate.ensure_golden_augment).
+    """
+    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_augment
+    from dataflow_geobeam_spark.functions.audio import with_augmented_noise
+
+    fx = ensure_fixtures(sf_dir)
+    ensure_golden_augment(sf_dir)
+    df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
+    aug = with_augmented_noise(df)
+    return aug.select(
+        "clip_id",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.md5("aug").alias("aug_md5"),
+    )

@@ -183,3 +183,77 @@ def test_align_tokens_invariants(spark, sf_dir):
         (F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)
     ).count()
     assert holes == 0 and out.count() > 500
+
+
+def test_augment_noise_engine_matches_independent_mirror():
+    """The vectorized engine kernel (cumsum power fold, np.clip) and the
+    scalar independent mirror produce bit-identical float64 output for the
+    same (pcm, key) — including a loud clip that actually clips at +/-1."""
+    from dataflow_geobeam_spark.audio_synth import synth_pcm
+    from dataflow_geobeam_spark.fixtures import independent
+    from dataflow_geobeam_spark.functions.audio import augment_noise_np
+
+    sr = 16000
+    pcm = synth_pcm(777, sr, 500).astype(np.float64)
+    for key, gain in ((1, 1.0), (99, 0.98)):
+        x = pcm * gain
+        a = augment_noise_np(x, key)
+        b = independent.augment_noise(x, sr, key)
+        assert a.dtype == np.float64 and a.shape == x.shape
+        assert np.array_equal(a, b)
+    # silent clip: power 0 => scale 0 => output unchanged
+    z = np.zeros(1000)
+    assert np.array_equal(augment_noise_np(z, 5), z)
+    # empty clip passes through
+    assert augment_noise_np(np.array([]), 5).size == 0
+
+
+def test_augment_noise_is_deterministic_and_keyed():
+    """Same key => identical bytes (task-retry safety); different key =>
+    different noise (per-clip independence)."""
+    from dataflow_geobeam_spark.audio_synth import synth_pcm
+    from dataflow_geobeam_spark.functions.audio import augment_noise_np
+
+    pcm = synth_pcm(31337, 8000, 250).astype(np.float64)
+    a1 = augment_noise_np(pcm, 42)
+    a2 = augment_noise_np(pcm, 42)
+    a3 = augment_noise_np(pcm, 43)
+    assert np.array_equal(a1, a2)
+    assert not np.array_equal(a1, a3)
+    # measured SNR is close to the 15 dB target
+    noise = a1 - pcm
+    snr = 10 * np.log10(np.mean(pcm**2) / np.mean(noise**2))
+    assert 13.0 < snr < 17.0
+
+
+def test_with_augmented_noise_drops_undecodable_and_pins_bytes(spark, sf_dir):
+    """One mapInArrow pass: invalid payloads yield no row; output n_samples
+    equals the source decode length; bytes are valid RIFF/WAVE that decode
+    back to the mixed signal."""
+    from dataflow_geobeam_spark import codecs
+    from dataflow_geobeam_spark.functions.audio import (
+        augment_noise_np,
+        with_augmented_noise,
+    )
+    from dataflow_geobeam_spark.plans.audio import ensure_fixtures, read_clips
+    import zlib
+
+    fx = ensure_fixtures(sf_dir)
+    df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
+    out = with_augmented_noise(df).limit(5).collect()
+    assert len(out) == 5
+    src = {
+        r["clip_id"]: r
+        for r in df.where(
+            df.clip_id.isin([r["clip_id"] for r in out])
+        ).collect()
+    }
+    for row in out:
+        s = src[row["clip_id"]]
+        pcm, sr = codecs.decode(bytes(s["bytes"]), s["codec"])
+        mixed = augment_noise_np(pcm, zlib.crc32(row["clip_id"].encode()))
+        rt, rt_sr = codecs.decode(bytes(row["aug"]), "wav")
+        assert row["n_samples"] == pcm.shape[0] == rt.shape[0]
+        assert rt_sr == (s["sr_hz"] or sr)
+        # PCM16 quantization: round-trip within one LSB of the mixed signal
+        assert float(np.max(np.abs(rt - mixed))) <= 1.0 / 32767.0
