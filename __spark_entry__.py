@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_vad_segments": audio.audio_vad_segments,
         "audio_extract_segments": audio.audio_extract_segments,
         "audio_augment_noise": audio.audio_augment_noise,
+        "audio_speed_perturb": audio.audio_speed_perturb,
         "audio_align_tokens": audio.audio_align_tokens,
         "audio_spectral": audio.audio_spectral,
         "audio_near_dups": audio.audio_near_dups,
@@ -220,9 +221,13 @@ def oracle_sql() -> dict[str, str]:
     ensure_golden_fp_match("/root/testdata/sf0.01")
     # round-5e: deterministic noise-augmentation golden (independent
     # decode + scalar mix loop + independent RIFF encoder)
-    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_augment
+    from dataflow_geobeam_spark.fixtures.generate import (
+        ensure_golden_augment,
+        ensure_golden_speed,
+    )
 
     ensure_golden_augment("/root/testdata/sf0.01")
+    ensure_golden_speed("/root/testdata/sf0.01")
     from dataflow_geobeam_spark.fixtures.generate import (
         ensure_golden_mel,
         ensure_golden_mfcc,
@@ -533,6 +538,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_augment_noise": f"""
             SELECT clip_id, n_samples, aug_md5
             FROM read_parquet('{FIXTURES_SF01}/golden_augment.parquet')
+        """,
+        "audio_speed_perturb": f"""
+            SELECT clip_id, speed, n_samples, aug_md5
+            FROM read_parquet('{FIXTURES_SF01}/golden_speed.parquet')
         """,
         "audio_align_tokens": f"""
             WITH segs AS (

@@ -1623,3 +1623,51 @@ def ensure_golden_augment(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str
     )
     pq.write_table(tbl, path, compression="zstd")
     return path
+
+
+def ensure_golden_speed(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+    """Golden for the audio_speed_perturb driver query: per decodable clip
+    and speed factor (0.9, 1.1), the md5 of the RIFF/WAVE PCM16 re-encode
+    of independent.resample_linear(pcm, round(sr*speed), sr) — the
+    independent per-sample-loop resampler composed with the independent
+    encoder; the engine's codecs/audio modules never touch these bytes."""
+    import hashlib
+
+    out_dir = fixtures_dir_for(sf_dir, root)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "golden_speed.parquet")
+    if os.path.exists(path):
+        return path
+    clips = pq.read_table(
+        os.path.join(ensure_fixtures(sf_dir, root), "clips.parquet"),
+        columns=["clip_id", "bytes", "codec", "sr_hz"],
+    )
+    ids, sps, ns, md5s = [], [], [], []
+    for cid, buf, codec, sr in zip(
+        clips.column("clip_id").to_pylist(),
+        clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(),
+        clips.column("sr_hz").to_pylist(),
+    ):
+        try:
+            pcm, _sr = independent.decode(buf, codec)
+        except Exception:  # noqa: BLE001 - decode failure => no rows
+            continue
+        rate = sr or _sr
+        for s in (0.9, 1.1):
+            y = independent.resample_linear(pcm, round(rate * s), rate)
+            payload = independent.encode(y, rate, "wav")
+            ids.append(cid)
+            sps.append(s)
+            ns.append(y.shape[0])
+            md5s.append(hashlib.md5(payload).hexdigest())
+    tbl = pa.Table.from_pydict(
+        {
+            "clip_id": pa.array(ids),
+            "speed": pa.array(sps, type=pa.float64()),
+            "n_samples": pa.array(ns, type=pa.int64()),
+            "aug_md5": pa.array(md5s),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd")
+    return path

@@ -998,3 +998,93 @@ def with_augmented_noise(
             )
 
     return df.mapInArrow(fn, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-5e: speed perturbation (Kaldi-style 0.9x/1.1x ASR augmentation)
+# ---------------------------------------------------------------------------
+
+
+def speed_perturb_np(pcm, sr_hz: int, speed: float):
+    """Speed-perturb a clip by ``speed`` via the engine's bit-exact linear
+    resampler: the input is REINTERPRETED as sampled at
+    ``round(sr_hz*speed)`` and resampled back to ``sr_hz`` — the classic
+    sox/Kaldi `speed` trick. Output length = round(n / speed); pitch and
+    tempo both scale by ``speed``. Deterministic (no RNG), so safe under
+    task retries. The exact arithmetic is resample_linear_np's published
+    spec — the independent mirror composes fixtures/independent.
+    resample_linear with the same arguments."""
+    return resample_linear_np(pcm, round(sr_hz * speed), sr_hz)
+
+
+def with_speed_perturb(
+    df,
+    speeds=(0.9, 1.1),
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+):
+    """Decode -> speed-perturb at each factor -> RIFF/WAVE PCM16
+    re-encode in ONE mapInArrow pass: 1 clip in, len(speeds) augmented
+    rows out (the 3x-corpus trick from Kaldi's recipe, minus the 1.0x
+    copy the source table already holds). Output: (clip_id, speed,
+    n_samples, sp) with ``sp`` the perturbed wav bytes; decode failure
+    yields no rows (filter_invalid semantics)."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dataflow_geobeam_spark.functions.decode import _binary_views
+
+    out_schema = StructType(
+        [
+            StructField(id_col, StringType(), False),
+            StructField("speed", DoubleType(), False),
+            StructField("n_samples", LongType(), False),
+            StructField("sp", BinaryType(), False),
+        ]
+    )
+    speeds = tuple(float(s) for s in speeds)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from dataflow_geobeam_spark import codecs
+
+        for batch in batches:
+            names = batch.schema.names
+            bufs = _binary_views(batch.column(names.index(bytes_col)))
+            ids = batch.column(names.index(id_col)).to_pylist()
+            codec_vals = batch.column(names.index(codec_col)).to_pylist()
+            sr_vals = batch.column(names.index(sr_col)).to_pylist()
+            out_id, out_sp, out_n, out_bytes = [], [], [], []
+            for cid, buf, c, sr in zip(ids, bufs, codec_vals, sr_vals):
+                try:
+                    pcm, _sr = codecs.decode(buf, c)
+                except Exception:  # noqa: BLE001 - decode failure => no rows
+                    continue
+                rate = sr or _sr
+                for s in speeds:
+                    y = speed_perturb_np(pcm, rate, s)
+                    out_id.append(cid)
+                    out_sp.append(s)
+                    out_n.append(y.shape[0])
+                    out_bytes.append(codecs.encode_wav(y, rate))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, type=pa.string()),
+                    pa.array(out_sp, type=pa.float64()),
+                    pa.array(out_n, type=pa.int64()),
+                    pa.array(out_bytes, type=pa.binary()),
+                ],
+                names=[id_col, "speed", "n_samples", "sp"],
+            )
+
+    return df.mapInArrow(fn, out_schema)

@@ -733,3 +733,31 @@ def audio_augment_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_samples").cast("long").alias("n_samples"),
         F.md5("aug").alias("aug_md5"),
     )
+
+
+def audio_speed_perturb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speed-perturbation AUGMENTATION (round 5e) — the Kaldi 3x-corpus
+    recipe: each decodable clip yields a 0.9x and a 1.1x copy (the 1.0x
+    copy is the source table itself), decode -> reinterpret-rate linear
+    resample -> RIFF PCM16 re-encode in ONE mapInArrow pass
+    (functions/audio.with_speed_perturb). Deterministic (no RNG), so task
+    retries regenerate identical bytes. The md5 is Catalyst's md5() over
+    the kernel's binary output.
+
+    Oracle: generation-time golden_speed.parquet — independent decode,
+    the independent per-sample-loop resampler, the independent RIFF
+    encoder (fixtures/generate.ensure_golden_speed).
+    """
+    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_speed
+    from dataflow_geobeam_spark.functions.audio import with_speed_perturb
+
+    fx = ensure_fixtures(sf_dir)
+    ensure_golden_speed(sf_dir)
+    df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
+    aug = with_speed_perturb(df)
+    return aug.select(
+        "clip_id",
+        "speed",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.md5("sp").alias("aug_md5"),
+    )

@@ -257,3 +257,40 @@ def test_with_augmented_noise_drops_undecodable_and_pins_bytes(spark, sf_dir):
         assert rt_sr == (s["sr_hz"] or sr)
         # PCM16 quantization: round-trip within one LSB of the mixed signal
         assert float(np.max(np.abs(rt - mixed))) <= 1.0 / 32767.0
+
+
+def test_speed_perturb_kernel_properties():
+    """Speed 0.9 lengthens (round(n/0.9)), 1.1 shortens; engine kernel is
+    bit-identical to the independent mirror composition; speed 1.0 is the
+    identity (same samples back)."""
+    from dataflow_geobeam_spark.audio_synth import synth_pcm
+    from dataflow_geobeam_spark.fixtures import independent
+    from dataflow_geobeam_spark.functions.audio import speed_perturb_np
+
+    sr = 16000
+    pcm = synth_pcm(2024, sr, 400).astype(np.float64)
+    n = pcm.shape[0]
+    for s in (0.9, 1.1):
+        y = speed_perturb_np(pcm, sr, s)
+        assert y.shape[0] == round(n * sr / round(sr * s))
+        mirror = independent.resample_linear(pcm, round(sr * s), sr)
+        assert np.array_equal(y, mirror)
+    assert np.array_equal(speed_perturb_np(pcm, sr, 1.0), pcm)
+
+
+def test_with_speed_perturb_two_rows_per_clip(spark, sf_dir):
+    """One Arrow pass emits exactly len(speeds) rows per decodable clip,
+    and the emitted wav decodes to the expected perturbed length."""
+    from dataflow_geobeam_spark import codecs
+    from dataflow_geobeam_spark.functions.audio import with_speed_perturb
+    from dataflow_geobeam_spark.plans.audio import ensure_fixtures, read_clips
+    import pyspark.sql.functions as F
+
+    fx = ensure_fixtures(sf_dir)
+    df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
+    out = with_speed_perturb(df)
+    counts = out.groupBy("clip_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in counts] == [2]
+    row = out.where(F.col("speed") == 1.1).limit(1).collect()[0]
+    rt, _sr = codecs.decode(bytes(row["sp"]), "wav")
+    assert rt.shape[0] == row["n_samples"]
