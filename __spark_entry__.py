@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_extract_segments": audio.audio_extract_segments,
         "audio_augment_noise": audio.audio_augment_noise,
         "audio_speed_perturb": audio.audio_speed_perturb,
+        "audio_cmvn": audio.audio_cmvn,
         "audio_align_tokens": audio.audio_align_tokens,
         "audio_spectral": audio.audio_spectral,
         "audio_near_dups": audio.audio_near_dups,
@@ -542,6 +543,28 @@ def oracle_sql() -> dict[str, str]:
         "audio_speed_perturb": f"""
             SELECT clip_id, speed, n_samples, aug_md5
             FROM read_parquet('{FIXTURES_SF01}/golden_speed.parquet')
+        """,
+        # true SQL mirror of the two-pass CMVN plan (agg -> broadcast
+        # normalize) over the independent golden MFCC table; DuckDB list
+        # indexing is 1-based
+        "audio_cmvn": f"""
+            WITH f AS (
+              SELECT clip_id, mfcc_mean
+              FROM read_parquet('{FIXTURES_SF01}/golden_mfcc.parquet')
+            ), s AS (
+              SELECT {", ".join(
+                  f"avg(mfcc_mean[{i + 1}]) AS mu{i}, "
+                  f"stddev_pop(mfcc_mean[{i + 1}]) AS sd{i}"
+                  for i in range(13)
+              )}
+              FROM f
+            )
+            SELECT clip_id, {", ".join(
+                f"round(CASE WHEN sd{i} > 0 THEN (mfcc_mean[{i + 1}] - mu{i})"
+                f" / sd{i} ELSE 0.0 END, 5) AS c{i:02d}"
+                for i in range(13)
+            )}
+            FROM f, s
         """,
         "audio_align_tokens": f"""
             WITH segs AS (

@@ -761,3 +761,32 @@ def audio_speed_perturb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_samples").cast("long").alias("n_samples"),
         F.md5("sp").alias("aug_md5"),
     )
+
+
+def audio_cmvn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level CMVN over the MFCC features (round 5e) — the feature-
+    normalization stage between extraction and training. Two declarative
+    passes: one partial+final hash aggregate for per-coefficient corpus
+    mean/stddev_pop, then a BROADCAST of the 1-row stats frame back onto
+    the corpus for the elementwise normalize (operators/normalize.cmvn).
+    Rounded to 5 decimals on both sides: the aggregate's fold order is
+    nondeterministic across partitions, so bit-exactness is the wrong
+    contract here — 1e-5 is ~7 orders looser than the fold noise.
+
+    Oracle: the IDENTICAL two-pass arithmetic in DuckDB over
+    golden_mfcc.parquet (the independently computed MFCC table) — a true
+    SQL mirror of the agg + broadcast-normalize plan.
+    """
+    from dataflow_geobeam_spark.functions.audio import MFCC_N, with_mfcc_means
+    from dataflow_geobeam_spark.operators.normalize import cmvn
+
+    fx = ensure_fixtures(sf_dir)
+    df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
+    feats = with_mfcc_means(df).where(F.col("mfcc_mean").isNotNull())
+    # cmvn references its input twice (stats agg + normalize). The input
+    # is a COMPUTED decode+MFCC Arrow pass, so localCheckpoint it once
+    # (the image_near_dups precedent: checkpoint blocks are GC'd with the
+    # DataFrame, unlike persist()) instead of decoding the corpus twice.
+    # The 100 TB form materializes the feature table explicitly.
+    feats = feats.localCheckpoint(eager=True)
+    return cmvn(feats, "mfcc_mean", MFCC_N, round_to=5)

@@ -294,3 +294,36 @@ def test_with_speed_perturb_two_rows_per_clip(spark, sf_dir):
     row = out.where(F.col("speed") == 1.1).limit(1).collect()[0]
     rt, _sr = codecs.decode(bytes(row["sp"]), "wav")
     assert rt.shape[0] == row["n_samples"]
+
+
+def test_cmvn_normalizes_to_zero_mean_unit_variance(spark):
+    """Hand-built vectors: output per-coefficient corpus mean ~0 and
+    population stddev ~1; a zero-variance coefficient maps to 0.0."""
+    from dataflow_geobeam_spark.operators.normalize import cmvn
+
+    rows = [(f"c{i}", [float(i), 2.0 * i + 1.0, 5.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "clip_id string, v array<double>")
+    out = cmvn(df, "v", 3, prefix="z").toPandas().sort_values("clip_id")
+    import numpy as np
+
+    for col, const in (("z00", False), ("z01", False), ("z02", True)):
+        vals = out[col].to_numpy()
+        if const:
+            assert np.allclose(vals, 0.0)
+        else:
+            assert abs(vals.mean()) < 1e-9
+            assert abs(vals.std() - 1.0) < 1e-9
+
+
+def test_cmvn_plan_broadcasts_stats(spark):
+    """The 1-row stats frame joins via BroadcastNestedLoopJoin — the big
+    side is never shuffled for the normalize."""
+    from dataflow_geobeam_spark.operators.normalize import cmvn
+
+    df = spark.range(100).selectExpr(
+        "cast(id as string) clip_id",
+        "array(cast(id as double), cast(id*2 as double)) v",
+    )
+    plan = cmvn(df, "v", 2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
