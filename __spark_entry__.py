@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_augment_noise": audio.audio_augment_noise,
         "audio_speed_perturb": audio.audio_speed_perturb,
         "audio_cmvn": audio.audio_cmvn,
+        "audio_corpus_split": audio.audio_corpus_split,
         "audio_align_tokens": audio.audio_align_tokens,
         "audio_spectral": audio.audio_spectral,
         "audio_near_dups": audio.audio_near_dups,
@@ -226,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         ensure_golden_augment,
         ensure_golden_speed,
     )
+    from dataflow_geobeam_spark.operators.split import split_sql
 
     ensure_golden_augment("/root/testdata/sf0.01")
     ensure_golden_speed("/root/testdata/sf0.01")
@@ -543,6 +545,15 @@ def oracle_sql() -> dict[str, str]:
         "audio_speed_perturb": f"""
             SELECT clip_id, speed, n_samples, aug_md5
             FROM read_parquet('{FIXTURES_SF01}/golden_speed.parquet')
+        """,
+        # true SQL mirror of the deterministic md5-prefix split expression
+        # (operators/split.split_sql emits the same CASE both engines run)
+        "audio_corpus_split": f"""
+            SELECT {split_sql("clip_id")} AS split,
+                   CAST(count(*) AS BIGINT) AS n_clips,
+                   CAST(sum(dur_ms) AS BIGINT) AS sum_dur_ms
+            FROM {_GOLDEN}
+            GROUP BY 1
         """,
         # true SQL mirror of the two-pass CMVN plan (agg -> broadcast
         # normalize) over the independent golden MFCC table; DuckDB list

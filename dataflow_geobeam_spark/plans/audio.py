@@ -790,3 +790,30 @@ def audio_cmvn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The 100 TB form materializes the feature table explicitly.
     feats = feats.localCheckpoint(eager=True)
     return cmvn(feats, "mfcc_mean", MFCC_N, round_to=5)
+
+
+def audio_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test corpus split (round 5e) — hash the
+    stable clip_id against cumulative-fraction thresholds
+    (operators/split.py): reproducible across runs, cluster sizes,
+    repartitions, and task retries (rand() re-rolls per attempt; md5
+    doesn't). One projection + one partial+final aggregate; at 100 TB the
+    split column becomes a write-partition key so downstream readers
+    prune at scan time.
+
+    Oracle: the IDENTICAL md5-prefix CASE expression in DuckDB over the
+    independent golden_clips table (split_sql emits it) — hex-string
+    compare semantics checked engine to engine.
+    """
+    from dataflow_geobeam_spark.operators.split import assign_split
+
+    fx = ensure_fixtures(sf_dir)
+    df = read_clips(spark, fx, columns=("clip_id", "dur_ms"), with_bucket=False)
+    return (
+        assign_split(df, "clip_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.sum("dur_ms").cast("long").alias("sum_dur_ms"),
+        )
+    )

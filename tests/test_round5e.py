@@ -327,3 +327,61 @@ def test_cmvn_plan_broadcasts_stats(spark):
     plan = cmvn(df, "v", 2)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_split_deterministic_and_proportional(spark):
+    """The split survives repartitioning bit-for-bit (the task-retry
+    property), proportions land near the requested fractions at 20k ids,
+    and a salt re-deals without changing proportions."""
+    from pyspark.sql import functions as F
+
+    from dataflow_geobeam_spark.operators.split import assign_split
+
+    df = spark.range(20000).selectExpr("concat('id-', id) AS k")
+    a = assign_split(df, "k")
+    b = assign_split(df.repartition(7), "k")
+    assert (
+        a.join(b.withColumnRenamed("split", "split2"), "k")
+        .where("split != split2")
+        .count()
+        == 0
+    )
+    frac = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(frac["train"] / 20000 - 0.90) < 0.01
+    assert abs(frac["val"] / 20000 - 0.05) < 0.005
+    assert abs(frac["test"] / 20000 - 0.05) < 0.005
+    s = assign_split(df, "k", salt="exp2")
+    moved = (
+        a.join(s.withColumnRenamed("split", "split2"), "k")
+        .where("split != split2")
+        .count()
+    )
+    assert moved > 1000  # the salt genuinely re-deals
+
+
+def test_split_sql_mirrors_spark_expr(spark):
+    """split_sql's CASE in DuckDB agrees row-for-row with split_expr in
+    Spark on the same ids — the exact engine-to-engine contract the gate
+    relies on."""
+    import duckdb
+
+    from dataflow_geobeam_spark.operators.split import assign_split, split_sql
+
+    ids = [f"clip-{i:05d}" for i in range(3000)]
+    df = spark.createDataFrame([(i,) for i in ids], "k string")
+    got = dict(assign_split(df, "k").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS k", [ids])
+    want = dict(con.execute(f"SELECT k, {split_sql('k')} FROM t").fetchall())
+    assert got == want
+
+
+def test_split_boundaries_validation():
+    import pytest as _pytest
+
+    from dataflow_geobeam_spark.operators.split import split_boundaries
+
+    with _pytest.raises(ValueError):
+        split_boundaries((("a", 0.5), ("b", 0.4)))
+    bs = split_boundaries((("a", 0.25), ("b", 0.25), ("c", 0.5)))
+    assert bs[0][1] == "40000000" and bs[1][1] == "80000000" and bs[2][1] is None
