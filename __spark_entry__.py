@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pattern_contiguous": relational.events_pattern_contiguous,
         "events_pattern_absence": relational.events_pattern_absence,
         "events_pattern_kleene": relational.events_pattern_kleene,
+        "events_pattern_bounded": relational.events_pattern_bounded,
         "events_match_recognize": relational.events_match_recognize,
         "events_funnel": relational.events_funnel,
         "top_customers": relational.top_customers_by_revenue,
@@ -889,6 +890,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type = 'purchase' AND nc_ty = 'view'
               AND rn - 1 - nc_rn >= 1
               AND ts <= nc_ts + INTERVAL 604800 SECOND
+        """,
+        "events_pattern_bounded": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, event_type,
+                     lead(event_type, 1) OVER w AS ty1, lead(ts, 1) OVER w AS ts1,
+                     lead(event_type, 2) OVER w AS ty2, lead(ts, 2) OVER w AS ts2,
+                     lead(event_type, 3) OVER w AS ty3, lead(ts, 3) OVER w AS ts3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), m AS (
+              SELECT user_id, event_id AS anchor_id, 2 AS n_b, ts, ts3 AS te
+              FROM o
+              WHERE event_type = 'view'
+                AND ty1 IN ('click', 'error') AND ty2 IN ('click', 'error')
+                AND ty3 = 'purchase' AND ts3 <= ts + INTERVAL 604800 SECOND
+              UNION ALL
+              SELECT user_id, event_id, 1, ts, ts2
+              FROM o
+              WHERE event_type = 'view' AND ty1 IN ('click', 'error')
+                AND ty2 = 'purchase' AND ts2 <= ts + INTERVAL 604800 SECOND
+            ), g AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id, anchor_id
+                                           ORDER BY n_b DESC) AS rk
+              FROM m
+            )
+            SELECT user_id, anchor_id, CAST(n_b AS BIGINT) AS n_b,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS t0_s,
+                   CAST(floor(epoch(te)) AS BIGINT) AS t_end_s,
+                   CAST(floor(epoch(te)) AS BIGINT)
+                     - CAST(floor(epoch(ts)) AS BIGINT) AS span_s
+            FROM g WHERE rk = 1
         """,
         "events_match_recognize": """
             WITH r AS (

@@ -73,7 +73,17 @@ def _step_pred(
     string patterns keep their original meaning. Predicates are wrapped
     in coalesce(, false): a NULL predicate (e.g. ``value > x`` on a NULL
     value) must mean "step does not match", never poison a conjunction.
+
+    Round 5e: ``name`` may be an ALTERNATION ``'a|b|c'`` (the parsed form
+    of the pattern token ``(a|b|c)``): each branch resolves independently
+    through DEFINE-or-type-equality and the step predicate is their OR.
     """
+    if "|" in name and not (defines is not None and name in defines):
+        branch = [_step_pred(p, defines, type_col) for p in name.split("|")]
+        out = branch[0]
+        for b in branch[1:]:
+            out = out | b
+        return out
     pred = (
         defines[name]
         if defines is not None and name in defines
@@ -375,33 +385,129 @@ def match_kleene(
     )
 
 
+def match_bounded(
+    df: DataFrame,
+    pattern: tuple[str, str, str],
+    bounds: tuple[int, int],
+    within_s: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    defines: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Bounded repetition ``A B{m,n} C`` over CONSECUTIVE events per key
+    (round 5e) — MATCH_RECOGNIZE's ``PATTERN (A B{m,n} C)`` with GREEDY
+    semantics: per anchor, the longest repetition count in [m, n] that
+    matches wins.
+
+    Compilation: ONE lead()-window pass. The three step predicates are
+    projected once; ``lead`` pulls the B-predicate at offsets 1..n and
+    the C-predicate/timestamp at offsets m+1..n+1 (Spark collapses all
+    leads over the same windowspec into a single Window node), and a
+    greedy CASE picks the LARGEST matching repetition count per anchor.
+    One exchange on the key, one sort, one Window node, zero joins, no
+    union — the quantifier's width costs extra lead columns, not extra
+    shuffles or passes. Output: (key, anchor_id, n_b, t0_s, t_end_s,
+    span_s).
+
+    ``m=0`` (from ``B?`` or ``B{0,n}``) makes the middle step optional:
+    the ``A C`` adjacent pair is a valid (shortest) match.
+    """
+    a, b, c = pattern
+    m, n = bounds
+    if m < 0 or n < m or n == 0:
+        raise ValueError(f"bad bounds {{{m},{n}}}")
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    pre = df.select(
+        key_col,
+        ts_col,
+        id_col,
+        _step_pred(a, defines, type_col).alias("_pa"),
+        _step_pred(b, defines, type_col).alias("_pb"),
+        _step_pred(c, defines, type_col).alias("_pc"),
+    )
+    for i in range(1, n + 1):
+        pre = pre.withColumn(f"_b{i}", F.coalesce(F.lead("_pb", i).over(w), F.lit(False)))
+    for k in range(m, n + 1):
+        pre = pre.withColumn(
+            f"_c{k + 1}", F.coalesce(F.lead("_pc", k + 1).over(w), F.lit(False))
+        ).withColumn(f"_ts{k + 1}", F.lead(ts_col, k + 1).over(w))
+    # cond_k: anchor matches A, next k rows match B, row k+1 matches C
+    # inside the window. Greedy: ascending wrap puts the largest k
+    # outermost in the chained CASE, so it is checked first.
+    n_b = F.lit(None).cast("long")
+    t_end = F.lit(None).cast("timestamp")
+    for k in range(m, n + 1):
+        cond = F.col("_pa")
+        for i in range(1, k + 1):
+            cond = cond & F.col(f"_b{i}")
+        cond = (
+            cond
+            & F.col(f"_c{k + 1}")
+            & (F.col(f"_ts{k + 1}") <= F.col(ts_col) + _interval_seconds(within_s))
+        )
+        n_b = F.when(cond, F.lit(k).cast("long")).otherwise(n_b)
+        t_end = F.when(cond, F.col(f"_ts{k + 1}")).otherwise(t_end)
+    out = pre.withColumn("n_b", n_b).withColumn("_t_end", t_end)
+    return out.where(F.col("n_b").isNotNull()).select(
+        F.col(key_col),
+        F.col(id_col).alias("anchor_id"),
+        "n_b",
+        epoch_seconds(F.col(ts_col)).alias("t0_s"),
+        epoch_seconds(F.col("_t_end")).alias("t_end_s"),
+        (epoch_seconds(F.col("_t_end")) - epoch_seconds(F.col(ts_col))).alias(
+            "span_s"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Declarative pattern API (round 5): MATCH_RECOGNIZE-lite
 # ---------------------------------------------------------------------------
 
-_TOKEN_RE = re.compile(r"^(!)?([A-Za-z_][A-Za-z0-9_]*)(\+)?$")
+_NAME = r"[A-Za-z_][A-Za-z0-9_]*"
+_TOKEN_RE = re.compile(
+    rf"^(!)?(\({_NAME}(?:\|{_NAME})+\)|{_NAME})(\+|\?|\{{\d+,\d+\}})?$"
+)
 
 
 @dataclass(frozen=True)
 class Step:
     """One parsed pattern step: ``name`` (resolved via DEFINE or type
-    equality), ``quant`` in {'1', '+'}, ``negated`` for ``!name``."""
+    equality; ``'a|b'`` for an alternation token ``(a|b)``), ``quant``
+    in {'1', '+', '?', '{m,n}'}, ``negated`` for ``!name``."""
 
     name: str
     quant: str = "1"
     negated: bool = False
 
+    def bounds(self) -> tuple[int, int]:
+        """(min, max) repetitions this step's quantifier allows; max=-1
+        means unbounded (Kleene plus)."""
+        if self.quant == "1":
+            return (1, 1)
+        if self.quant == "+":
+            return (1, -1)
+        if self.quant == "?":
+            return (0, 1)
+        m, n = self.quant[1:-1].split(",")
+        return (int(m), int(n))
+
 
 def parse_pattern(pattern: str) -> list[Step]:
     """Parse a MATCH_RECOGNIZE-lite PATTERN string.
 
-    Grammar: whitespace-separated tokens; each token is ``name``,
-    ``name+`` (Kleene plus, one-or-more consecutive), or ``!name``
-    (negation / notFollowedBy). Examples::
+    Grammar: whitespace-separated tokens; each token is ``atom``,
+    ``atom+`` (Kleene plus, one-or-more consecutive), ``atom?``
+    (optional), ``atom{m,n}`` (bounded repetition), or ``!name``
+    (negation / notFollowedBy), where ``atom`` is a ``name`` or an
+    alternation ``(name|name|...)``. Examples::
 
-        "view click purchase"     -> strict sequence
-        "view click+ purchase"    -> PATTERN (A B+ C)
-        "view !purchase"          -> A not followed by B within the window
+        "view click purchase"          -> strict sequence
+        "view click+ purchase"         -> PATTERN (A B+ C)
+        "view (click|cart){1,2} buy"   -> alternation + bounded repeat
+        "view !purchase"               -> A not followed by B
 
     Which shapes each match MODE supports is enforced by
     :func:`match_pattern` (this function only tokenizes).
@@ -414,12 +520,19 @@ def parse_pattern(pattern: str) -> list[Step]:
         m = _TOKEN_RE.match(tok)
         if not m:
             raise ValueError(
-                f"bad pattern token {tok!r}: expected name, name+ or !name"
+                f"bad pattern token {tok!r}: expected name, (a|b), and an "
+                "optional +/?/{{m,n}} quantifier, or !name"
             )
-        neg, name, plus = m.groups()
-        if neg and plus:
+        neg, name, quant = m.groups()
+        if neg and quant:
             raise ValueError(f"token {tok!r}: negation cannot carry a quantifier")
-        steps.append(Step(name, "+" if plus else "1", bool(neg)))
+        if name.startswith("("):
+            name = name[1:-1]
+        if quant and quant.startswith("{"):
+            lo, hi = (int(x) for x in quant[1:-1].split(","))
+            if hi < lo or hi == 0:
+                raise ValueError(f"token {tok!r}: bad bounds {{{lo},{hi}}}")
+        steps.append(Step(name, quant or "1", bool(neg)))
     return steps
 
 
@@ -450,7 +563,10 @@ def match_pattern(
       (RANGE-frame negation, :func:`match_absence`). If the DEFINEs of
       a Kleene pattern let one row satisfy both B and C, the row
       terminates the match (reluctant B+); with default type-equality
-      steps the cases are disjoint.
+      steps the cases are disjoint. Round 5e: any step may be an
+      alternation ``(a|b|c)`` (OR of branch predicates), and the middle
+      step of a 3-step pattern may carry ``?`` or ``{m,n}`` (GREEDY
+      bounded repetition, expansion-compiled: :func:`match_bounded`).
     * ``'skip'`` — skip-till-next-match funnel semantics
       (:func:`match_funnel`); quantifiers/negation are rejected (the
       funnel's earliest-next-step semantics already skip over
@@ -485,20 +601,30 @@ def match_pattern(
             "negation is supported as the second step of a 2-step pattern "
             "('A !B'); compose longer shapes from match_* directly"
         )
-    plus_at = [i for i, s in enumerate(steps) if s.quant == "+"]
-    if not plus_at:
+    quant_at = [i for i, s in enumerate(steps) if s.quant != "1"]
+    if not quant_at:
         return match_contiguous(
             df, [s.name for s in steps], within_s, defines=defines, **cols
         )
-    if plus_at == [1] and len(steps) == 3:
-        return match_kleene(
+    if quant_at == [1] and len(steps) == 3:
+        mid = steps[1]
+        if mid.quant == "+":
+            return match_kleene(
+                df,
+                (steps[0].name, steps[1].name, steps[2].name),
+                within_s,
+                defines=defines,
+                **cols,
+            )
+        return match_bounded(
             df,
             (steps[0].name, steps[1].name, steps[2].name),
+            mid.bounds(),
             within_s,
             defines=defines,
             **cols,
         )
     raise ValueError(
-        "Kleene quantifier is supported as the middle step of a 3-step "
-        "pattern ('A B+ C'); compose longer shapes from match_* directly"
+        "quantifiers (+, ?, {m,n}) are supported on the middle step of a "
+        "3-step pattern; compose longer shapes from match_* directly"
     )

@@ -294,6 +294,23 @@ def events_pattern_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_kleene(ev, ("view", "click", "purchase"), within_s=7 * 86400)
 
 
+def events_pattern_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP alternation + bounded repetition (round 5e): PATTERN
+    (view (click|error){1,2} purchase) over CONSECUTIVE events per user
+    within 7 days, GREEDY — per anchor, the longest repetition wins.
+    The bounded quantifier expansion-compiles to a union of lead()
+    window plans over ONE shared exchange (operators/cep.match_bounded);
+    the alternation is an OR of branch predicates evaluated before the
+    window pass. Oracle: the identical expansion as lead() CTEs + a
+    greedy row_number in DuckDB."""
+    from dataflow_geobeam_spark.operators.cep import match_pattern
+
+    ev = _t(spark, sf_dir, "events")
+    return match_pattern(
+        ev, "view (click|error){1,2} purchase", within_s=7 * 86400
+    )
+
+
 def events_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The declarative MATCH_RECOGNIZE-lite entry point (round 5,
     operators/cep.match_pattern): PATTERN 'view click+ big_purchase'

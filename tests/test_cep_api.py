@@ -38,7 +38,7 @@ def test_parse_pattern_grammar():
         Step("view"),
         Step("purchase", "1", True),
     ]
-    for bad in ["", "view !click+", "a b?", "a 2x", "a !"]:
+    for bad in ["", "view !click+", "a !b{1,2}", "a 2x", "a !", "a (b", "a (b|c)*", "a b{1,0}"]:
         with pytest.raises(ValueError):
             parse_pattern(bad)
 
@@ -49,8 +49,14 @@ def test_match_pattern_dispatch_rejects_unsupported(spark, sf_dir):
         match_pattern(ev, "view click+ purchase", 60, mode="skip")
     with pytest.raises(ValueError, match="negation"):
         match_pattern(ev, "view click !purchase", 60)
-    with pytest.raises(ValueError, match="Kleene"):
+    with pytest.raises(ValueError, match="quantifiers"):
         match_pattern(ev, "view+ click purchase", 60)
+    with pytest.raises(ValueError, match="quantifiers"):
+        match_pattern(ev, "view click{1,2} extra purchase", 60)
+    with pytest.raises(ValueError, match="bad bounds"):
+        match_pattern(ev, "view click{3,2} purchase", 60)
+    with pytest.raises(ValueError, match="bad pattern token"):
+        match_pattern(ev, "view (click|) purchase", 60)
     with pytest.raises(ValueError, match="mode"):
         match_pattern(ev, "view click", 60, mode="nope")
 
@@ -378,3 +384,85 @@ def test_match_pattern_stream_defines_equals_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not in pattern"):
         match_pattern_stream(stream, "view click+ purchase", within_s, defines=defines())
+
+
+def test_parse_pattern_alternation_and_bounds():
+    assert parse_pattern("view (click|cart){1,2} purchase") == [
+        Step("view"),
+        Step("click|cart", "{1,2}"),
+        Step("purchase"),
+    ]
+    assert parse_pattern("view click? purchase") == [
+        Step("view"),
+        Step("click", "?"),
+        Step("purchase"),
+    ]
+    assert Step("x", "{2,4}").bounds() == (2, 4)
+    assert Step("x", "?").bounds() == (0, 1)
+    assert Step("x", "+").bounds() == (1, -1)
+
+
+def test_match_bounded_greedy_handbuilt(spark):
+    """Hand-built sequence: v c c p matches {1,2} greedily as n_b=2 (the
+    n_b=1 sub-match at the same anchor is suppressed); v c p matches as
+    n_b=1; v p only matches when the bound allows 0."""
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    seqs = {
+        1: ["view", "click", "click", "purchase"],
+        2: ["view", "click", "purchase"],
+        3: ["view", "purchase"],
+    }
+    eid = 0
+    for uid, types in seqs.items():
+        for i, ty in enumerate(types):
+            rows.append((eid, t0 + dt.timedelta(seconds=10 * i), uid, ty))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got12 = {
+        (r["user_id"], r["n_b"])
+        for r in match_pattern(ev, "view click{1,2} purchase", 3600).collect()
+    }
+    assert got12 == {(1, 2), (2, 1)}
+    got02 = {
+        (r["user_id"], r["n_b"])
+        for r in match_pattern(ev, "view click{0,2} purchase", 3600).collect()
+    }
+    assert got02 == {(1, 2), (2, 1), (3, 0)}
+    gotq = {
+        (r["user_id"], r["n_b"])
+        for r in match_pattern(ev, "view click? purchase", 3600).collect()
+    }
+    assert gotq == {(2, 1), (3, 0)}  # u1's c c run is neither 0 nor 1 long
+
+
+def test_alternation_equals_union_of_plain_patterns(spark, sf_dir):
+    """(click|error) in a plain 3-step contiguous pattern = the union of
+    the two single-type patterns (disjoint types, so no double count)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    alt = match_pattern(ev, "view (click|error) purchase", 7 * 86400)
+    a = match_contiguous(ev, ["view", "click", "purchase"], 7 * 86400)
+    b = match_contiguous(ev, ["view", "error", "purchase"], 7 * 86400)
+    got = sorted(map(tuple, alt.collect()))
+    want = sorted(map(tuple, a.unionAll(b).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_match_bounded_single_pass_plan(spark, sf_dir):
+    """The bounded quantifier compiles to ONE exchange + ONE Window node
+    in the executed plan — the quantifier width adds lead columns, never
+    extra shuffles, window passes, joins, or unions."""
+    from dataflow_geobeam_spark.operators.cep import match_bounded
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = match_bounded(ev, ("view", "click|error", "purchase"), (1, 2), 7 * 86400)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both versions
+    assert final.count("Exchange hashpartitioning") == 1
+    assert final.count("Window [") == 1
+    assert "Join" not in final and "Union" not in final
