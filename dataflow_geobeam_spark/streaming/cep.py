@@ -400,6 +400,129 @@ def match_kleene_stream(
     )
 
 
+def _match_set(name: str) -> frozenset:
+    """Labels/types that satisfy a pattern step: the step's own name (the
+    dispatcher's label projection emits full names, alternations
+    included) plus each alternation branch (raw event types when no
+    projection ran)."""
+    return frozenset([name]) | frozenset(name.split("|"))
+
+
+def _make_bounded_fn(a: str, b: str, c: str, m: int, n: int, within_s: int):
+    within_us = within_s * 1_000_000
+    a_set, b_set, c_set = _match_set(a), _match_set(b), _match_set(c)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        if state.exists:
+            ts_l, id_l, ty_l = state.get
+            buf = list(zip(ts_l, id_l, ty_l))
+        else:
+            buf = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for row in pdf.itertuples(index=False):
+                    buf.append(
+                        (
+                            int(pd.Timestamp(row.ts).value // 1000),
+                            int(row.event_id),
+                            str(row.event_type),
+                        )
+                    )
+        buf.sort()
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        rows = []
+        keep_from = 0
+        for i, (ts_us, eid, ty) in enumerate(buf):
+            if ts_us + within_us >= wm_us:
+                break  # anchor not finalized; later anchors even less so
+            keep_from = i + 1
+            if ty not in a_set:
+                continue
+            for k in range(n, m - 1, -1):  # GREEDY: largest width first
+                j = i + k + 1
+                if j >= len(buf):
+                    continue
+                if buf[j][0] > ts_us + within_us or buf[j][2] not in c_set:
+                    continue
+                if all(buf[i + x][2] in b_set for x in range(1, k + 1)):
+                    t0, te = ts_us // 1_000_000, buf[j][0] // 1_000_000
+                    rows.append((int(key[0]), eid, k, t0, te, te - t0))
+                    break
+        buf = buf[keep_from:]
+        if buf:
+            state.update(
+                ([x[0] for x in buf], [x[1] for x in buf], [x[2] for x in buf])
+            )
+            desired_ms = buf[0][0] // 1000 + within_s * 1000 + 1000
+            state.setTimeoutTimestamp(max(desired_ms, wm_ms + 1000))
+        else:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["user_id", "anchor_id", "n_b", "t0_s", "t_end_s", "span_s"],
+            )
+
+    return fn
+
+
+def match_bounded_stream(
+    events: DataFrame,
+    pattern: tuple[str, str, str],
+    bounds: tuple[int, int],
+    within_s: int,
+) -> DataFrame:
+    """Streaming bounded-repetition matcher — PATTERN (A B{m,n} C) with
+    GREEDY semantics over consecutive events per key, the streaming form
+    of ``operators/cep.match_bounded`` (round 5e).
+
+    Finalization is ANCHOR-based, like the contiguous matcher: an
+    anchor's verdict depends only on events within ``within_s`` after it
+    (every candidate width requires its C row inside the window, and
+    rows beyond the window cannot flip any narrower width), so the
+    anchor is final once the watermark passes ``anchor_ts + within``.
+    Alternation step names (``'x|y'``) match either raw branch types or
+    the dispatcher's projected labels. Output equals the batch operator
+    over the delivered events restricted to finalized anchors; pinned by
+    tests/test_cep_api.py::test_match_bounded_stream_equals_batch.
+    """
+    a_ty, b_ty, c_ty = pattern
+    m, n = bounds
+    if m < 0 or n < m or n == 0:
+        raise ValueError(f"bad bounds {{{m},{n}}}")
+    state_schema = StructType(
+        [
+            StructField("ts_us", _long_array(), True),
+            StructField("ids", _long_array(), True),
+            StructField("types", _str_array(), True),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("anchor_id", LongType(), False),
+            StructField("n_b", LongType(), False),
+            StructField("t0_s", LongType(), False),
+            StructField("t_end_s", LongType(), False),
+            StructField("span_s", LongType(), False),
+        ]
+    )
+    return events.select("user_id", "event_id", "ts", "event_type").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _make_bounded_fn(a_ty, b_ty, c_ty, m, n, within_s),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def _long_array():
     from pyspark.sql.types import ArrayType
 
@@ -447,16 +570,20 @@ def match_pattern_stream(
     """
     from pyspark.sql import functions as F
 
-    from dataflow_geobeam_spark.operators.cep import parse_pattern
+    from dataflow_geobeam_spark.operators.cep import _step_pred, parse_pattern
 
     steps = parse_pattern(pattern)
     if defines:
         unknown = set(defines) - {s.name for s in steps}
         if unknown:
             raise ValueError(f"DEFINE for step(s) not in pattern: {sorted(unknown)}")
+    if defines or any("|" in s.name for s in steps):
+        # label projection: alternation steps (round 5e) resolve through
+        # the same _step_pred as the batch compiler, so an alternation
+        # row is labeled with the full step name ('click|error')
         lbl = F.concat(F.lit("¬"), F.col("event_type"))
         for s in reversed(steps):
-            pred = defines.get(s.name, F.col("event_type") == s.name)
+            pred = _step_pred(s.name, defines, "event_type")
             lbl = F.when(pred, F.lit(s.name)).otherwise(lbl)
         events = events.select(
             "user_id", "event_id", "ts", lbl.alias("event_type")
@@ -470,14 +597,15 @@ def match_pattern_stream(
             "negation is supported as the second step of a 2-step pattern "
             "('A !B'); compose longer shapes from match_*_stream directly"
         )
-    plus_at = [i for i, s in enumerate(steps) if s.quant == "+"]
-    if not plus_at:
+    quant_at = [i for i, s in enumerate(steps) if s.quant != "1"]
+    if not quant_at:
         return match_contiguous_stream(events, [s.name for s in steps], within_s)
-    if plus_at == [1] and len(steps) == 3:
-        return match_kleene_stream(
-            events, (steps[0].name, steps[1].name, steps[2].name), within_s
-        )
+    if quant_at == [1] and len(steps) == 3:
+        names = (steps[0].name, steps[1].name, steps[2].name)
+        if steps[1].quant == "+":
+            return match_kleene_stream(events, names, within_s)
+        return match_bounded_stream(events, names, steps[1].bounds(), within_s)
     raise ValueError(
-        "Kleene quantifier is supported as the middle step of a 3-step "
-        "pattern ('A B+ C'); compose longer shapes from match_*_stream directly"
+        "quantifiers (+, ?, {m,n}) are supported on the middle step of a "
+        "3-step pattern; compose longer shapes from match_*_stream directly"
     )

@@ -285,7 +285,7 @@ def test_match_pattern_stream_dispatch(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="negation"):
         match_pattern_stream(stream, "a b !c", 60)
-    with pytest.raises(ValueError, match="Kleene"):
+    with pytest.raises(ValueError, match="quantifiers"):
         match_pattern_stream(stream, "a+ b c", 60)
 
     out = match_pattern_stream(stream, "a b c", within_s=60)
@@ -466,3 +466,66 @@ def test_match_bounded_single_pass_plan(spark, sf_dir):
     assert final.count("Exchange hashpartitioning") == 1
     assert final.count("Window [") == 1
     assert "Join" not in final and "Union" not in final
+
+
+def test_match_bounded_stream_equals_batch(spark, tmp_path):
+    """Streaming bounded-repetition CEP (with alternation, through the
+    declarative dispatcher) vs the hash-gated batch operator: events
+    streamed as 4 time-ordered files with a 1-hour watermark delay emit
+    exactly the batch matches whose anchors FINALIZE under the final
+    watermark (wm > anchor_ts + within)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as apq
+
+    from dataflow_geobeam_spark.streaming.cep import match_pattern_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    pat, within_s = "view (click|error){1,2} purchase", 3 * 86400
+    t = apq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    idx = pa.compute.sort_indices(
+        t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    )
+    t = t.take(idx)
+    stream_dir = tmp_path / "ev_stream_bounded"
+    stream_dir.mkdir()
+    n = t.num_rows
+    per = (n + 3) // 4
+    for f in range(4):
+        apq.write_table(t.slice(f * per, per), str(stream_dir / f"part-{f:04d}.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+        .withWatermark("ts", "1 hour")
+    )
+    out = match_pattern_stream(stream, pat, within_s)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cep_bounded_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        tuple(r)
+        for r in spark.sql("select * from cep_bounded_stream_test").collect()
+    }
+
+    max_ts = pa.compute.max(t.column("ts")).as_py()
+    wm_s = int((max_ts - dt.timedelta(hours=1)).timestamp())
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = {
+        tuple(r)
+        for r in match_pattern(ev, pat, within_s).collect()
+        if r.t0_s + within_s < wm_s
+    }
+    assert got == batch and len(batch) > 0
