@@ -76,6 +76,13 @@ BENCH_QUERIES = [
     # round-5e: query-by-example fingerprint retrieval (inverted-index
     # bigram keys + broadcast offset vote) over the full sf0.1 corpus
     "audio_fp_match",
+    # round-5e: augmentation (decode -> mix/perturb -> RIFF re-encode,
+    # byte-producing), corpus CMVN (agg + broadcast normalize), and the
+    # single-window-pass bounded/alternation CEP matcher
+    "audio_augment_noise",
+    "audio_speed_perturb",
+    "audio_cmvn",
+    "events_pattern_bounded",
 ]
 
 
