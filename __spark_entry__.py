@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_augment_noise": audio.audio_augment_noise,
         "audio_speed_perturb": audio.audio_speed_perturb,
         "audio_cmvn": audio.audio_cmvn,
+        "audio_specaugment": audio.audio_specaugment,
         "audio_corpus_split": audio.audio_corpus_split,
         "audio_align_tokens": audio.audio_align_tokens,
         "audio_spectral": audio.audio_spectral,
@@ -232,6 +233,9 @@ def oracle_sql() -> dict[str, str]:
 
     ensure_golden_augment("/root/testdata/sf0.01")
     ensure_golden_speed("/root/testdata/sf0.01")
+    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_specaugment
+
+    ensure_golden_specaugment("/root/testdata/sf0.01")
     from dataflow_geobeam_spark.fixtures.generate import (
         ensure_golden_mel,
         ensure_golden_mfcc,
@@ -546,6 +550,11 @@ def oracle_sql() -> dict[str, str]:
         "audio_speed_perturb": f"""
             SELECT clip_id, speed, n_samples, aug_md5
             FROM read_parquet('{FIXTURES_SF01}/golden_speed.parquet')
+        """,
+        "audio_specaugment": f"""
+            SELECT clip_id, f0, f_w, t0, t_w, n_frames,
+                   {", ".join(f"m{m:02d}" for m in range(16))}
+            FROM read_parquet('{FIXTURES_SF01}/golden_specaugment.parquet')
         """,
         # true SQL mirror of the deterministic md5-prefix split expression
         # (operators/split.split_sql emits the same CASE both engines run)

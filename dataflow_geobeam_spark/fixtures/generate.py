@@ -1671,3 +1671,58 @@ def ensure_golden_speed(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
     )
     pq.write_table(tbl, path, compression="zstd")
     return path
+
+
+def ensure_golden_specaugment(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+    """Golden for the audio_specaugment driver query: per decodable clip,
+    the deterministic mask rectangle and the round-6 post-mask per-band
+    means via independent.specaugment_means (independent decode, the
+    scalar-loop log-mel mirror, per-cell mask loop, left-to-right frame
+    fold — the engine's audio module never touches these values; the
+    RNG draw order is the shared spec)."""
+    out_dir = fixtures_dir_for(sf_dir, root)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "golden_specaugment.parquet")
+    if os.path.exists(path):
+        return path
+    import zlib as _zlib
+
+    clips = pq.read_table(
+        os.path.join(ensure_fixtures(sf_dir, root), "clips.parquet"),
+        columns=["clip_id", "bytes", "codec", "sr_hz"],
+    )
+    ids, f0s, fws, t0s, tws, nfs = [], [], [], [], [], []
+    mels = [[] for _ in range(16)]
+    for cid, buf, codec, sr in zip(
+        clips.column("clip_id").to_pylist(),
+        clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(),
+        clips.column("sr_hz").to_pylist(),
+    ):
+        try:
+            pcm, _sr = independent.decode(buf, codec)
+        except Exception:  # noqa: BLE001 - decode failure => no row
+            continue
+        res = independent.specaugment_means(
+            pcm, sr or _sr, _zlib.crc32(cid.encode("utf-8"))
+        )
+        if res is None:
+            continue
+        f0, f_w, t0, t_w, n_frames, mean = res
+        ids.append(cid)
+        f0s.append(f0), fws.append(f_w), t0s.append(t0), tws.append(t_w)
+        nfs.append(n_frames)
+        for m in range(16):
+            mels[m].append(round(float(mean[m]), 6))
+    cols = {
+        "clip_id": pa.array(ids),
+        "f0": pa.array(f0s, type=pa.int32()),
+        "f_w": pa.array(fws, type=pa.int32()),
+        "t0": pa.array(t0s, type=pa.int32()),
+        "t_w": pa.array(tws, type=pa.int32()),
+        "n_frames": pa.array(nfs, type=pa.int32()),
+    }
+    for m in range(16):
+        cols[f"m{m:02d}"] = pa.array(mels[m], type=pa.float64())
+    pq.write_table(pa.Table.from_pydict(cols), path, compression="zstd")
+    return path

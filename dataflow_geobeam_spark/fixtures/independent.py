@@ -606,13 +606,14 @@ def resample_linear(pcm, sr_in: int, sr_out: int):
     return out
 
 
-def mel_mean(pcm, sr_hz: int):
-    """Independent mirror of functions/audio.mel_mean_np: resample to
+def logmel_frames(pcm, sr_hz: int):
+    """Independent mirror of functions/audio.logmel_frames_np (the shared
+    per-frame stage under mel_mean/mfcc_mean/specaugment): resample to
     16 kHz (resample_linear above), 400/160 rectangular frames, float64
     power spectrum, HTK-mel triangular weights recomputed from the same
     formula with the same numpy elementwise ops, LEFT-TO-RIGHT folds for
-    the band energies and the frame mean. Per-frame/per-mel loop
-    structure vs the engine's batched passes; bit-identical outputs."""
+    the band energies. Per-frame/per-mel loop structure vs the engine's
+    batched passes; bit-identical (T, 16) output, None if no full frame."""
     sr, frame, hop, n_mels = 16000, 400, 160, 16
     f_lo, f_hi, floor_e = 20.0, 7600.0, 1e-10
     y = resample_linear(pcm, sr_hz, sr)
@@ -629,7 +630,7 @@ def mel_mean(pcm, sr_hz: int):
         tri = np.minimum(up, down)
         weights.append(np.where(tri > 0.0, tri, 0.0))
     n_frames = 1 + (y.size - frame) // hop
-    mean = np.zeros(n_mels)
+    out = np.empty((n_frames, n_mels))
     for t in range(n_frames):
         seg = y[t * hop : t * hop + frame]
         spec = np.abs(np.fft.rfft(seg)) ** 2
@@ -638,7 +639,21 @@ def mel_mean(pcm, sr_hz: int):
             acc = 0.0
             for b in np.flatnonzero(w):
                 acc = acc + w[b] * spec[b]
-            mean[m] = mean[m] + np.log10(acc + floor_e)
+            out[t, m] = np.log10(acc + floor_e)
+    return out
+
+
+def mel_mean(pcm, sr_hz: int):
+    """Independent mirror of functions/audio.mel_mean_np:
+    ``logmel_frames`` above + a LEFT-TO-RIGHT fold over frames."""
+    frames = logmel_frames(pcm, sr_hz)
+    if frames is None:
+        return None
+    n_frames, n_mels = frames.shape
+    mean = np.zeros(n_mels)
+    for t in range(n_frames):
+        for m in range(n_mels):
+            mean[m] = mean[m] + frames[t, m]
     return mean / float(n_frames)
 
 
@@ -767,3 +782,32 @@ def augment_noise(pcm, sr_hz: int, key: int, snr_db: float = 15.0):
             v = -1.0
         out[i] = v
     return out
+
+
+def specaugment_means(pcm, sr_hz: int, key: int, f_max: int = 4, t_max: int = 20):
+    """Independent mirror of functions/audio.specaugment_means_np: same
+    shared random SOURCE (``default_rng([20260819, key])``, four integer
+    draws in the same order — the generator is part of the spec), masks
+    applied in a per-cell scalar loop, then a LEFT-TO-RIGHT per-frame
+    fold for the post-mask means. Returns (f0, f_w, t0, t_w, n_frames,
+    means[16]) or None if the clip yields no full frame."""
+    frames = logmel_frames(pcm, sr_hz)
+    if frames is None:
+        return None
+    n_frames, n_mels = frames.shape
+    rng = np.random.default_rng([20260819, int(key)])
+    f_w = int(rng.integers(0, f_max + 1))
+    f0 = int(rng.integers(0, n_mels - f_w + 1))
+    t_w = int(rng.integers(0, min(t_max, n_frames) + 1))
+    t0 = int(rng.integers(0, n_frames - t_w + 1))
+    floor = np.log10(1e-10)
+    out = frames.copy()
+    for t in range(n_frames):
+        for m in range(n_mels):
+            if f0 <= m < f0 + f_w or t0 <= t < t0 + t_w:
+                out[t, m] = floor
+    mean = np.zeros(n_mels)
+    for t in range(n_frames):
+        for m in range(n_mels):
+            mean[m] = mean[m] + out[t, m]
+    return f0, f_w, t0, t_w, n_frames, mean / float(n_frames)

@@ -1088,3 +1088,132 @@ def with_speed_perturb(
             )
 
     return df.mapInArrow(fn, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-5e: SpecAugment (deterministic time/frequency masking on log-mel)
+# ---------------------------------------------------------------------------
+
+SA_SEED = 20260819  # shared random-source seed (engine + independent mirror)
+
+
+def specaugment_means_np(pcm, sr_hz: int, key: int, f_max: int = 4, t_max: int = 20):
+    """SpecAugment (Park et al. 2019) on the clip's log-mel frames —
+    deterministically keyed, so the augmented feature corpus is
+    reproducible under task retries (the augment_noise_np property).
+
+    Exact spec (shared with fixtures/independent.specaugment_means):
+
+    * four integer draws from ``default_rng([SA_SEED, key])`` IN ORDER:
+      frequency-mask width ``f_w`` in [0, f_max], start ``f0`` in
+      [0, MEL_N - f_w]; time-mask width ``t_w`` in [0, min(t_max, T)],
+      start ``t0`` in [0, T - t_w];
+    * masked cells (band in the f-mask OR frame in the t-mask) are set to
+      the log floor ``log10(MEL_FLOOR)`` = -10.0 exactly;
+    * post-mask per-band means via the LEFT-TO-RIGHT frame fold
+      (mel_mean_np's contract).
+
+    Returns (f0, f_w, t0, t_w, n_frames, means[MEL_N]) or None if the
+    clip yields no full frame.
+    """
+    import numpy as np
+
+    logE = logmel_frames_np(pcm, sr_hz)
+    if logE is None:
+        return None
+    n_frames, n_mels = logE.shape
+    rng = np.random.default_rng([SA_SEED, int(key)])
+    f_w = int(rng.integers(0, f_max + 1))
+    f0 = int(rng.integers(0, n_mels - f_w + 1))
+    t_w = int(rng.integers(0, min(t_max, n_frames) + 1))
+    t0 = int(rng.integers(0, n_frames - t_w + 1))
+    floor = np.log10(MEL_FLOOR)
+    out = logE.copy()
+    out[:, f0 : f0 + f_w] = floor
+    out[t0 : t0 + t_w, :] = floor
+    mean = np.zeros(n_mels)
+    for t in range(n_frames):  # left-to-right over frames
+        mean = mean + out[t]
+    return f0, f_w, t0, t_w, n_frames, mean / float(n_frames)
+
+
+def with_specaugment(
+    df,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+):
+    """Decode + resample + log-mel + deterministic SpecAugment masking +
+    post-mask means in ONE mapInArrow pass. Output: (clip_id, f0, f_w,
+    t0, t_w, n_frames, sa_mel array<double> round-6); undecodable or
+    sub-frame clips yield no row (filter_invalid semantics)."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dataflow_geobeam_spark.functions.decode import _binary_views
+
+    out_schema = StructType(
+        [
+            StructField(id_col, StringType(), False),
+            StructField("f0", IntegerType(), False),
+            StructField("f_w", IntegerType(), False),
+            StructField("t0", IntegerType(), False),
+            StructField("t_w", IntegerType(), False),
+            StructField("n_frames", IntegerType(), False),
+            StructField("sa_mel", ArrayType(DoubleType()), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        from dataflow_geobeam_spark import codecs
+
+        for batch in batches:
+            names = batch.schema.names
+            bufs = _binary_views(batch.column(names.index(bytes_col)))
+            ids = batch.column(names.index(id_col)).to_pylist()
+            codec_vals = batch.column(names.index(codec_col)).to_pylist()
+            sr_vals = batch.column(names.index(sr_col)).to_pylist()
+            o_id, o_f0, o_fw, o_t0, o_tw, o_n, o_mel = [], [], [], [], [], [], []
+            for cid, buf, c, sr in zip(ids, bufs, codec_vals, sr_vals):
+                try:
+                    pcm, _sr = codecs.decode(buf, c)
+                except Exception:  # noqa: BLE001 - decode failure => no row
+                    continue
+                res = specaugment_means_np(
+                    pcm, sr or _sr, zlib.crc32(cid.encode("utf-8"))
+                )
+                if res is None:
+                    continue
+                f0, f_w, t0, t_w, n_frames, mean = res
+                o_id.append(cid)
+                o_f0.append(f0), o_fw.append(f_w)
+                o_t0.append(t0), o_tw.append(t_w)
+                o_n.append(n_frames)
+                o_mel.append([float(v) for v in np.round(mean, 6)])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, type=pa.string()),
+                    pa.array(o_f0, type=pa.int32()),
+                    pa.array(o_fw, type=pa.int32()),
+                    pa.array(o_t0, type=pa.int32()),
+                    pa.array(o_tw, type=pa.int32()),
+                    pa.array(o_n, type=pa.int32()),
+                    pa.array(o_mel, type=pa.list_(pa.float64())),
+                ],
+                names=[id_col, "f0", "f_w", "t0", "t_w", "n_frames", "sa_mel"],
+            )
+
+    return df.mapInArrow(fn, out_schema)

@@ -721,11 +721,13 @@ def audio_augment_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     a scalar left-to-right power accumulation + per-sample mix/clip loop,
     and the independent RIFF encoder (fixtures/generate.ensure_golden_augment).
     """
-    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_augment
     from dataflow_geobeam_spark.functions.audio import with_augmented_noise
 
+    # the golden is materialized by oracle_sql() for the oracle dir only
+    # (sf0.01); generating it here for an arbitrary sf_dir would run the
+    # scalar independent mirrors over the whole corpus for nothing (the
+    # round-5e bench lesson)
     fx = ensure_fixtures(sf_dir)
-    ensure_golden_augment(sf_dir)
     df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
     aug = with_augmented_noise(df)
     return aug.select(
@@ -748,11 +750,11 @@ def audio_speed_perturb(spark: SparkSession, sf_dir: str) -> DataFrame:
     the independent per-sample-loop resampler, the independent RIFF
     encoder (fixtures/generate.ensure_golden_speed).
     """
-    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_speed
     from dataflow_geobeam_spark.functions.audio import with_speed_perturb
 
+    # golden materialized by oracle_sql() for the oracle dir only (see
+    # audio_augment_noise)
     fx = ensure_fixtures(sf_dir)
-    ensure_golden_speed(sf_dir)
     df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
     aug = with_speed_perturb(df)
     return aug.select(
@@ -816,4 +818,36 @@ def audio_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_clips"),
             F.sum("dur_ms").cast("long").alias("sum_dur_ms"),
         )
+    )
+
+
+def audio_specaugment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpecAugment feature augmentation (round 5e) — deterministic
+    time/frequency masking on each clip's log-mel frames (Park et al.
+    2019, the standard ASR feature-space augmentation), keyed by
+    crc32(clip_id) under a shared seed so task retries regenerate
+    identical features. Decode -> resample -> log-mel -> mask ->
+    post-mask per-band means, ALL in one mapInArrow pass
+    (functions/audio.with_specaugment). The gate pins the mask rectangle
+    AND all 16 round-6 post-mask means per clip.
+
+    Oracle: generation-time golden_specaugment.parquet — independent
+    decode, the scalar-loop log-mel mirror, a per-cell mask loop, and a
+    left-to-right frame fold (fixtures/generate.ensure_golden_specaugment).
+    """
+    from dataflow_geobeam_spark.functions.audio import MEL_N, with_specaugment
+
+    # golden materialized by oracle_sql() for the oracle dir only (see
+    # audio_augment_noise)
+    fx = ensure_fixtures(sf_dir)
+    df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
+    sa = with_specaugment(df)
+    return sa.select(
+        "clip_id",
+        "f0",
+        "f_w",
+        "t0",
+        "t_w",
+        "n_frames",
+        *[F.col("sa_mel")[m].alias(f"m{m:02d}") for m in range(MEL_N)],
     )

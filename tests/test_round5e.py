@@ -385,3 +385,62 @@ def test_split_boundaries_validation():
         split_boundaries((("a", 0.5), ("b", 0.4)))
     bs = split_boundaries((("a", 0.25), ("b", 0.25), ("c", 0.5)))
     assert bs[0][1] == "40000000" and bs[1][1] == "80000000" and bs[2][1] is None
+
+
+def test_specaugment_engine_matches_independent_mirror():
+    """Engine kernel (vectorized mask + frame fold) and the independent
+    scalar mirror produce identical mask rectangles and bit-identical
+    post-mask means for the same (pcm, key)."""
+    from dataflow_geobeam_spark.audio_synth import synth_pcm
+    from dataflow_geobeam_spark.fixtures import independent
+    from dataflow_geobeam_spark.functions.audio import specaugment_means_np
+
+    sr = 16000
+    pcm = synth_pcm(4242, sr, 800).astype(np.float64)
+    for key in (7, 1234):
+        f0, f_w, t0, t_w, nf, mean = specaugment_means_np(pcm, sr, key)
+        i_f0, i_fw, i_t0, i_tw, i_nf, i_mean = independent.specaugment_means(
+            pcm, sr, key
+        )
+        assert (f0, f_w, t0, t_w, nf) == (i_f0, i_fw, i_t0, i_tw, i_nf)
+        assert np.array_equal(mean, i_mean)
+    # same key => identical; different key => different mask (with high
+    # probability for these two keys, asserted concretely)
+    a = specaugment_means_np(pcm, sr, 7)
+    b = specaugment_means_np(pcm, sr, 7)
+    assert a[:5] == b[:5] and np.array_equal(a[5], b[5])
+
+
+def test_specaugment_mask_semantics():
+    """A fully-masked band's post-mask mean is exactly the log floor when
+    the frequency mask covers it; sub-frame clips return None."""
+    from dataflow_geobeam_spark.audio_synth import synth_pcm
+    from dataflow_geobeam_spark.functions.audio import (
+        MEL_FLOOR,
+        logmel_frames_np,
+        specaugment_means_np,
+    )
+
+    sr = 16000
+    pcm = synth_pcm(99, sr, 600).astype(np.float64)
+    # find a key whose f-mask is non-empty
+    for key in range(50):
+        f0, f_w, t0, t_w, nf, mean = specaugment_means_np(pcm, sr, key)
+        if f_w > 0 and t_w == 0:
+            floor = float(np.log10(MEL_FLOOR))
+            for m in range(f0, f0 + f_w):
+                assert mean[m] == floor
+            break
+    else:
+        raise AssertionError("no key with f_w>0, t_w==0 in 50 draws")
+    assert specaugment_means_np(np.zeros(10), sr, 1) is None
+    # unmasked bands equal the plain log-mel mean
+    logE = logmel_frames_np(pcm, sr)
+    plain = np.zeros(logE.shape[1])
+    for t in range(logE.shape[0]):
+        plain = plain + logE[t]
+    plain /= logE.shape[0]
+    if t_w == 0:
+        for m in range(logE.shape[1]):
+            if not (f0 <= m < f0 + f_w):
+                assert mean[m] == plain[m]
