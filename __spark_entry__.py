@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": training_data.doc_fingerprint,
         "doc_text_metrics": training_data.doc_text_metrics,
         "pipeline_clean_corpus": training_data.pipeline_clean_corpus,
+        "doc_mixture_sample": training_data.doc_mixture_sample,
         # --- training-data ops: dedup family ---
         "dedup_exact_transcripts": training_data.dedup_exact_transcripts,
         "dedup_minhash_signature": training_data.dedup_minhash_signature,
@@ -229,7 +230,13 @@ def oracle_sql() -> dict[str, str]:
         ensure_golden_augment,
         ensure_golden_speed,
     )
-    from dataflow_geobeam_spark.operators.split import split_sql
+    from dataflow_geobeam_spark.operators.split import sample_sql, split_sql
+    from dataflow_geobeam_spark.plans.training_data import MIX_RATES
+
+    mix_where = " OR ".join(
+        f"(source = '{s}' AND {sample_sql('doc_id', r)})"
+        for s, r in sorted(MIX_RATES.items())
+    )
 
     ensure_golden_augment("/root/testdata/sf0.01")
     ensure_golden_speed("/root/testdata/sf0.01")
@@ -772,6 +779,14 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.95), 6) AS p95_price,
                    round(quantile_cont(o_totalprice, 0.99), 6) AS p99_price
             FROM orders GROUP BY o_orderpriority
+        """,
+        "doc_mixture_sample": f"""
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            WHERE {mix_where}
+            GROUP BY source
         """,
         "pipeline_clean_corpus": """
             WITH d AS (

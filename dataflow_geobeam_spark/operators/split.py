@@ -95,3 +95,77 @@ def assign_split(
 ) -> DataFrame:
     """Append the deterministic split label column."""
     return df.withColumn(out_col, split_expr(F.col(id_col), fractions, salt))
+
+
+def sample_expr(id_col: Column, rate: Column | float, salt: str = "") -> Column:
+    """Deterministic Bernoulli keep-predicate at ``rate``: keep iff the
+    record's md5-derived uniform (8 hex chars = 32-bit resolution) falls
+    under the rate. Same retry/repartition stability as split_expr;
+    ``rate`` may be a per-row Column (joined from a mixture spec)."""
+    h = F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 8)
+    u = F.conv(h, 16, 10).cast("double") / float(1 << 32)
+    rate_col = rate if isinstance(rate, Column) else F.lit(float(rate))
+    return u < rate_col
+
+
+def sample_mixture(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    rates: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Weighted multi-source mixture sampling — the corpus-mixing stage of
+    a training-data pipeline (e.g. keep 100% of wiki, 30% of crawl):
+    every record of source s survives with probability ``rates[s]``,
+    DETERMINISTICALLY (same record always makes the same cut, across
+    runs, task retries, and cluster sizes). Sources absent from
+    ``rates`` are dropped (rate 0).
+
+    Distributed shape: the rates dict becomes a broadcast-joined 1-row-
+    per-source frame (never a shuffle of the corpus), and the keep
+    predicate is pure Catalyst — a filter that pushes below any
+    downstream project/agg.
+    """
+    spark = df.sparkSession
+    rates_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, float(v)) for k, v in sorted(rates.items())],
+            f"{source_col} string, _rate double",
+        )
+    )
+    joined = df.join(rates_df, source_col, "inner")
+    return joined.where(sample_expr(F.col(id_col), F.col("_rate"), salt)).drop(
+        "_rate"
+    )
+
+
+def sample_threshold_hex(rate: float) -> str | None:
+    """The 8-hex-char threshold T such that ``keep ⇔ hex8(md5-prefix) < T``
+    equals ``uniform32/2^32 < rate`` EXACTLY: both ``v/2^32`` and
+    ``rate*2^32`` are exact in binary64 (power-of-two scaling), so the
+    integer comparison below is the same predicate both engines evaluate.
+    None means rate >= 1 (keep everything)."""
+    import math
+
+    r = float(rate)
+    if r >= 1.0:
+        return None
+    if r <= 0.0:
+        return "00000000"
+    scaled = r * 4294967296.0  # exact: exponent shift only
+    thr = int(math.floor(scaled))
+    if scaled != math.floor(scaled):
+        thr += 1
+    return format(thr, "08x")
+
+
+def sample_sql(id_sql: str, rate: float, salt: str = "") -> str:
+    """``sample_expr`` as ANSI SQL (the oracle mirror): hex-prefix compare
+    against the exact threshold — no float arithmetic in the SQL engine."""
+    t = sample_threshold_hex(rate)
+    if t is None:
+        return "TRUE"
+    if t == "00000000":
+        return "FALSE"
+    return f"substr(md5(CAST({id_sql} AS VARCHAR) || '{salt}'), 1, 8) < '{t}'"

@@ -403,3 +403,35 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("v").cast("double")), 9).alias("mean_component"),
         )
     )
+
+
+MIX_RATES = {
+    **{f"src{i}": 1.0 for i in range(5)},
+    **{f"src{i}": 0.5 for i in range(5, 10)},
+    **{f"src{i}": 0.2 for i in range(10, 15)},
+    # src15..src19 absent => dropped
+}
+
+
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted multi-source mixture sampling (round 5e) —
+    the corpus-mixing stage of a training-data pipeline: keep 100% of
+    five sources, 50% of five, 20% of five, drop the rest, with every
+    keep/drop decision a pure function of (doc_id, salt) so runs, task
+    retries, and cluster sizes agree record-for-record
+    (operators/split.sample_mixture: broadcast rates join + md5-prefix
+    Bernoulli, no RNG state). Output: per surviving source, doc count
+    and char volume.
+
+    Oracle: the IDENTICAL hex-prefix thresholds (sample_threshold_hex
+    computes each rate's exact 32-bit cut; both engines compare the same
+    md5 prefix against the same constant) as DuckDB SQL over documents.
+    """
+    from dataflow_geobeam_spark.operators.split import sample_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = sample_mixture(docs, "doc_id", "source", MIX_RATES)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

@@ -444,3 +444,66 @@ def test_specaugment_mask_semantics():
         for m in range(logE.shape[1]):
             if not (f0 <= m < f0 + f_w):
                 assert mean[m] == plain[m]
+
+
+def test_sample_threshold_hex_exactness():
+    from dataflow_geobeam_spark.operators.split import sample_threshold_hex
+
+    assert sample_threshold_hex(1.0) is None
+    assert sample_threshold_hex(0.0) == "00000000"
+    assert sample_threshold_hex(0.5) == "80000000"
+    assert sample_threshold_hex(0.25) == "40000000"
+    # non-dyadic rate: ceil of the exact scaled product
+    assert int(sample_threshold_hex(0.2), 16) == 858993460
+
+
+def test_sample_mixture_deterministic_and_mirrors_sql(spark):
+    """sample_mixture keeps the same rows across repartitions, rates land
+    near their targets, absent sources are dropped, and the SQL mirror
+    (hex thresholds) selects the IDENTICAL id set in DuckDB."""
+    import duckdb
+
+    from dataflow_geobeam_spark.operators.split import sample_mixture, sample_sql
+
+    df = spark.range(12000).selectExpr(
+        "id AS doc_id", "concat('s', id % 4) AS source"
+    )
+    rates = {"s0": 1.0, "s1": 0.5, "s2": 0.2}  # s3 absent => dropped
+    kept = sample_mixture(df, "doc_id", "source", rates)
+    a = {(r["doc_id"], r["source"]) for r in kept.collect()}
+    b = {
+        (r["doc_id"], r["source"])
+        for r in sample_mixture(df.repartition(13), "doc_id", "source", rates).collect()
+    }
+    assert a == b
+    counts = {s: 0 for s in rates}
+    for _id, src in a:
+        assert src != "s3"
+        counts[src] += 1
+    assert counts["s0"] == 3000
+    assert abs(counts["s1"] / 3000 - 0.5) < 0.05
+    assert abs(counts["s2"] / 3000 - 0.2) < 0.05
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(range(12000)) AS doc_id, "
+        "concat('s', unnest(range(12000)) % 4) AS source"
+    )
+    where = " OR ".join(
+        f"(source = '{s}' AND {sample_sql('doc_id', r)})"
+        for s, r in sorted(rates.items())
+    )
+    want = {tuple(r) for r in con.execute(
+        f"SELECT doc_id, source FROM t WHERE {where}"
+    ).fetchall()}
+    assert a == want
+
+
+def test_sample_mixture_plan_broadcasts_rates(spark):
+    from dataflow_geobeam_spark.operators.split import sample_mixture
+
+    df = spark.range(100).selectExpr("id AS doc_id", "concat('s', id % 2) AS source")
+    out = sample_mixture(df, "doc_id", "source", {"s0": 0.5, "s1": 1.0})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan
