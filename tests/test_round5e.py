@@ -507,3 +507,56 @@ def test_sample_mixture_plan_broadcasts_rates(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_augmentation_streaming_equals_batch(spark, tmp_path):
+    """The augmentation kernels are stateless per clip and DETERMINISTIC,
+    so they run UNCHANGED on a streaming scan — ingest-time augmentation:
+    an availableNow pass over the micro-batched clips stream emits
+    byte-for-byte the batch operators' augmented sets (the task-retry /
+    replay reproducibility property, exercised through the streaming
+    runtime's own re-batching)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_geobeam_spark.fixtures import ensure_fixtures
+    from dataflow_geobeam_spark.functions.audio import (
+        with_augmented_noise,
+        with_speed_perturb,
+    )
+    from dataflow_geobeam_spark.sources.clips import CLIPS_SCHEMA, read_clips
+    from dataflow_geobeam_spark.streaming.pipeline import prepare_stream_dir
+
+    fx = ensure_fixtures("/root/testdata/sf0.001")
+    stream_dir = prepare_stream_dir(spark, fx, n_files=4)
+    cols = ("clip_id", "bytes", "codec", "sr_hz")
+
+    def noise_proj(df):
+        return df.select("clip_id", "n_samples", F.md5("aug").alias("m"))
+
+    def speed_proj(df):
+        return df.select("clip_id", "speed", "n_samples", F.md5("sp").alias("m"))
+
+    src = read_clips(spark, fx, columns=cols)
+    batch_noise = {tuple(r) for r in noise_proj(with_augmented_noise(src)).collect()}
+    batch_speed = {tuple(r) for r in speed_proj(with_speed_perturb(src)).collect()}
+
+    stream = (
+        spark.readStream.schema(CLIPS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    for name, build, want in (
+        ("aug_noise_stream_test", lambda s: noise_proj(with_augmented_noise(s)), batch_noise),
+        ("aug_speed_stream_test", lambda s: speed_proj(with_speed_perturb(s)), batch_speed),
+    ):
+        q = (
+            build(stream.select(*cols))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {tuple(r) for r in spark.sql(f"select * from {name}").collect()}
+        assert got == want and len(want) > 0
