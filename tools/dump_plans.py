@@ -192,6 +192,45 @@ ANNOTATED = {
         "Decode + FFT kernel. Expect: precheck conjuncts in PushedFilters "
         "below ONE MapInArrow node; payload column pruned after the kernel."
     ),
+    "audio_augment_noise": (
+        "Byte-producing augmentation (round 5e). Expect: ONE MapInArrow "
+        "node (decode + deterministic noise mix + RIFF re-encode), zero "
+        "exchanges — a pure map-only plan; md5 is a Catalyst projection "
+        "over the kernel's binary output."
+    ),
+    "audio_speed_perturb": (
+        "1->2 augmentation fan-out (round 5e). Expect: the same map-only "
+        "shape as audio_augment_noise — the row multiplication happens "
+        "INSIDE the Arrow batch, never via join/explode/union."
+    ),
+    "audio_cmvn": (
+        "Two-pass corpus normalization (round 5e). Expect: the feature "
+        "table computed once (localCheckpoint scan), partial+final "
+        "HashAggregate for the 26 stats, then BroadcastNestedLoopJoin of "
+        "the 1-row stats frame — the corpus side has NO exchange."
+    ),
+    "audio_corpus_split": (
+        "Deterministic split + census (round 5e). Expect: md5/CASE "
+        "projection inside WholeStageCodegen, partial+final HashAggregate "
+        "around one exchange on the 3-value split key."
+    ),
+    "events_pattern_bounded": (
+        "Greedy bounded repetition A (b|c){1,2} C (round 5e). Expect: ONE "
+        "exchange on user_id, ONE Window node carrying every lead column, "
+        "no joins, no unions — the quantifier is lead columns + a CASE, "
+        "not extra passes."
+    ),
+    "doc_mixture_sample": (
+        "Weighted mixture sampling (round 5e). Expect: BroadcastHashJoin "
+        "of the 1-row-per-source rates frame, md5 keep-predicate in "
+        "WholeStageCodegen, partial+final agg; NO corpus exchange before "
+        "the filter."
+    ),
+    "audio_specaugment": (
+        "Feature-space augmentation (round 5e). Expect: ONE MapInArrow "
+        "node (decode + resample + log-mel + deterministic mask + means), "
+        "zero exchanges."
+    ),
 }
 
 
