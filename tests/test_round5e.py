@@ -560,3 +560,71 @@ def test_augmentation_streaming_equals_batch(spark, tmp_path):
         q.awaitTermination(300)
         got = {tuple(r) for r in spark.sql(f"select * from {name}").collect()}
         assert got == want and len(want) > 0
+
+
+def test_split_column_prunes_partitions_at_scan(spark, tmp_path):
+    """The 100 TB claim behind audio_corpus_split: writing the corpus
+    partitioned BY the split column lets downstream readers prune at scan
+    time — the executed plan for WHERE split='train' reads only the train
+    directory (PartitionFilters, no post-scan filter on split)."""
+    from dataflow_geobeam_spark.operators.split import assign_split
+
+    df = spark.range(5000).selectExpr("concat('id-', id) AS k", "id AS v")
+    out = str(tmp_path / "by_split")
+    assign_split(df, "k").write.partitionBy("split").parquet(out)
+    back = spark.read.parquet(out).where("split = 'train'")
+    n = back.count()
+    assert 0.88 * 5000 < n < 0.92 * 5000
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the split predicate prunes at the partition level...
+    assert "PartitionFilters: [isnotnull(split" in plan
+    # ...and never degrades to a row-level data filter
+    assert "DataFilters: []" in plan
+
+
+def test_augmented_corpus_exactly_once_sink(spark, tmp_path):
+    """Byte-producing augmentation through the exactly-once manifest sink:
+    a paced availableNow stream writes augmented wavs epoch by epoch via
+    foreachBatch; REPLAYING an already-committed epoch is a no-op, and
+    the committed md5 set equals the batch operator's — the augmented-
+    corpus write is idempotent under retry/restart."""
+    from pyspark.sql import functions as F
+
+    from dataflow_geobeam_spark.fixtures import ensure_fixtures
+    from dataflow_geobeam_spark.functions.audio import with_augmented_noise
+    from dataflow_geobeam_spark.sources.clips import CLIPS_SCHEMA, read_clips
+    from dataflow_geobeam_spark.streaming.pipeline import prepare_stream_dir
+    from dataflow_geobeam_spark.streaming.sink import ExactlyOnceParquetSink
+
+    fx = ensure_fixtures("/root/testdata/sf0.001")
+    stream_dir = prepare_stream_dir(spark, fx, n_files=3)
+    sink = ExactlyOnceParquetSink(str(tmp_path / "aug_table"))
+    cols = ("clip_id", "bytes", "codec", "sr_hz")
+
+    def project(df):
+        return df.select("clip_id", "n_samples", F.md5("aug").alias("aug_md5"))
+
+    stream = (
+        spark.readStream.schema(CLIPS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = (
+        project(with_augmented_noise(stream.select(*cols)))
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    committed = project(
+        with_augmented_noise(read_clips(spark, fx, columns=cols))
+    )
+    want = {tuple(r) for r in committed.collect()}
+    got = {tuple(r) for r in sink.read(spark).select("clip_id", "n_samples", "aug_md5").collect()}
+    assert got == want and len(want) > 0
+    # replaying an already-committed epoch must be a no-op
+    epoch0 = sink.read(spark, as_of_epoch=0).select("clip_id", "n_samples", "aug_md5")
+    sink.write_batch(epoch0, 0)
+    again = {tuple(r) for r in sink.read(spark).select("clip_id", "n_samples", "aug_md5").collect()}
+    assert again == want
