@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mfcc": audio.audio_mfcc,
         "audio_pitch": audio.audio_pitch,
         "pipeline_clean_asr_corpus": audio.pipeline_clean_asr_corpus,
+        "pipeline_build_training_corpus": audio.pipeline_build_training_corpus,
         # --- relational operator coverage (SURVEY.md §2.4) ---
         "tpch_q1_pricing_summary": relational.q1_pricing_summary_rounded,
         "tpch_q6_forecast_revenue": relational.q6_rounded,
@@ -677,6 +678,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s.clip_id, s.n_copies, k.dur_ms, k.chars_per_s
             FROM survivors s JOIN scored k USING (clip_id)
+        """,
+        # capstone: the clean stage's rules over the independent
+        # golden_clips + the identical split CASE + golden_augment's
+        # independent byte hashes — three gated stages crossed in one query
+        "pipeline_build_training_corpus": f"""
+            WITH scored AS (
+              SELECT clip_id, dur_ms, trim(transcript) AS t_norm
+              FROM {_GOLDEN}
+              WHERE decode_ok
+                AND dur_ms BETWEEN 300 AND 30000
+                AND round(rms, 6) > 1e-4
+                AND round(peak, 6) <= 0.999
+                AND length(trim(transcript)) > 0
+                AND round(length(trim(transcript))
+                          / (dur_ms / 1000.0), 6) BETWEEN 0.5 AND 60.0
+            ), survivors AS (
+              SELECT t_norm, min(clip_id) AS clip_id,
+                     CAST(count(*) AS BIGINT) AS n_copies
+              FROM scored GROUP BY t_norm
+            )
+            SELECT s.clip_id, s.n_copies, a.n_samples, a.aug_md5
+            FROM survivors s
+            JOIN read_parquet('{FIXTURES_SF01}/golden_augment.parquet') a
+              USING (clip_id)
+            WHERE {split_sql("s.clip_id")} = 'train'
         """,
         "dedup_exact_transcripts": f"""
             SELECT t_clip_id AS clip_id, CAST(count(*) AS BIGINT) AS n_copies

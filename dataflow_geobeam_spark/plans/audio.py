@@ -851,3 +851,42 @@ def audio_specaugment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         *[F.col("sa_mel")[m].alias(f"m{m:02d}") for m in range(MEL_N)],
     )
+
+
+def pipeline_build_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE composite (round 5e) — the full training-corpus build,
+    chaining three independently-gated stages end to end:
+
+      clean (decode census -> quality/label rules -> exact transcript
+      dedup, = pipeline_clean_asr_corpus) -> deterministic split
+      (operators/split, keep 'train') -> noise augmentation (decode ->
+      mix -> RIFF re-encode, = with_augmented_noise), emitting each
+      surviving train clip's duplicate-group size and its augmented
+      copy's byte hash.
+
+    Plan shape at scale: one decode-metrics pass + one dedup shuffle
+    (the clean stage), a pure-Catalyst split predicate, a semi-join of
+    surviving ids back onto the clips scan (at 100 TB: broadcast or
+    bucket-co-located), then ONE augment mapInArrow pass over only the
+    kept rows — silence/dup/val/test bytes never reach the augmenter.
+
+    Oracle: the clean stage's rule SQL over golden_clips + the identical
+    split CASE + a join to golden_augment's independent md5s — all three
+    stages crossed in one DuckDB query with no engine code involved.
+    """
+    from dataflow_geobeam_spark.functions.audio import with_augmented_noise
+    from dataflow_geobeam_spark.operators.split import split_expr
+
+    fx = ensure_fixtures(sf_dir)
+    survivors = pipeline_clean_asr_corpus(spark, sf_dir).where(
+        split_expr(F.col("clip_id")) == "train"
+    )
+    clips = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
+    kept = clips.join(survivors.select("clip_id", "n_copies"), "clip_id")
+    aug = with_augmented_noise(kept)
+    return aug.join(survivors.select("clip_id", "n_copies"), "clip_id").select(
+        "clip_id",
+        "n_copies",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.md5("aug").alias("aug_md5"),
+    )
