@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_metrics": training_data.doc_text_metrics,
         "pipeline_clean_corpus": training_data.pipeline_clean_corpus,
         "doc_mixture_sample": training_data.doc_mixture_sample,
+        "doc_decontaminate": training_data.doc_decontaminate,
         # --- training-data ops: dedup family ---
         "dedup_exact_transcripts": training_data.dedup_exact_transcripts,
         "dedup_minhash_signature": training_data.dedup_minhash_signature,
@@ -813,6 +814,34 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE {mix_where}
             GROUP BY source
+        """,
+        # decontamination: identical shingles (the minhash-gated mirror) +
+        # identical split CASE; train docs sharing any 5-gram with eval
+        "doc_decontaminate": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+                     CASE WHEN {split_sql("doc_id")} = 'train'
+                          THEN 'train' ELSE 'eval' END AS grp
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, grp,
+                     CASE WHEN len(toks) >= 5 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, len(toks) - 4),
+                         i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
+                     ELSE []::VARCHAR[] END AS grams
+              FROM d
+            ), ex AS (
+              SELECT doc_id, grp, unnest(grams) AS g FROM sh
+            )
+            SELECT t.doc_id,
+                   CAST(count(DISTINCT t.g) AS BIGINT) AS n_overlap
+            FROM ex t
+            JOIN (SELECT DISTINCT g FROM ex WHERE grp = 'eval') e ON t.g = e.g
+            WHERE t.grp = 'train'
+            GROUP BY t.doc_id
         """,
         "pipeline_clean_corpus": """
             WITH d AS (

@@ -402,3 +402,38 @@ def audio_near_dup_pairs(
         .where(F.col("ber") <= max_ber)
         .select("id_a", "id_b", F.round("ber", 6).alias("ber"))
     )
+
+
+def contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Train/eval DECONTAMINATION detection (round 5e) — the benchmark-
+    leakage screen every serious training-data pipeline runs: a train
+    document is contaminated if it shares any word n-gram with the held-
+    out eval set (the GPT-3/PaLM n-gram-overlap recipe). Output: one row
+    per contaminated train doc with its distinct overlapping-gram count
+    (downstream either drops the doc or excises the spans).
+
+    Distributed shape: the eval side collapses to its DISTINCT gram set
+    and is BROADCAST (eval sets are small by construction — benchmarks,
+    not corpora), so the 100 TB train side is never shuffled: explode ->
+    broadcast-hash semi-join -> per-doc count. Grams are the same
+    Catalyst shingle expression the MinHash family uses
+    (functions/text.shingles), already mirrored bit-for-bit by the
+    DuckDB oracles. At extreme gram cardinality swap the string gram for
+    xxhash64(gram) on both sides — same plan, 8-byte keys.
+    """
+    tr = train.select(F.col(id_col), F.explode(T.shingles(text_col, n)).alias("_g"))
+    ev = (
+        eval_df.select(F.explode(T.shingles(text_col, n)).alias("_g"))
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "_g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_g").cast("long").alias("n_overlap"))
+    )

@@ -435,3 +435,26 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (round 5e): carve the documents corpus
+    with the deterministic split (train = 'train', eval = val+test),
+    then flag every train doc sharing a distinct word 5-gram with the
+    eval side (operators/dedup.contamination: eval grams distinct +
+    broadcast, train side never shuffled before the semi-join). The
+    fixture's planted near-duplicates make the result non-trivial —
+    dup pairs straddling the split boundary surface here.
+
+    Oracle: the identical shingle formulation (the minhash-gated
+    list_transform mirror) + the identical split CASE in DuckDB.
+    """
+    from dataflow_geobeam_spark.operators.dedup import contamination
+    from dataflow_geobeam_spark.operators.split import split_expr
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_split", split_expr(F.col("doc_id"))
+    )
+    train = docs.where(F.col("_split") == "train")
+    eval_df = docs.where(F.col("_split") != "train")
+    return contamination(train, eval_df, "doc_id", "text", n=5)

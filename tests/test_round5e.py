@@ -628,3 +628,29 @@ def test_augmented_corpus_exactly_once_sink(spark, tmp_path):
     sink.write_batch(epoch0, 0)
     again = {tuple(r) for r in sink.read(spark).select("clip_id", "n_samples", "aug_md5").collect()}
     assert again == want
+
+
+def test_contamination_handbuilt_and_plan(spark):
+    """Hand-built corpus: one train doc copies a 5-gram from eval, one
+    shares nothing; the copy is flagged with the exact overlap count, and
+    the plan broadcasts the eval grams (train side never shuffles before
+    the join)."""
+    from dataflow_geobeam_spark.operators.dedup import contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps over a fence")],
+        "doc_id long, text string",
+    )
+    out = contamination(train, eval_df, n=5)
+    rows = {r["doc_id"]: r["n_overlap"] for r in out.collect()}
+    # shared 5-grams: 'the quick brown fox jumps', 'quick brown fox jumps over'
+    assert rows == {1: 2}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
