@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": training_data.pipeline_clean_corpus,
         "doc_mixture_sample": training_data.doc_mixture_sample,
         "doc_decontaminate": training_data.doc_decontaminate,
+        "doc_pack_sequences": training_data.doc_pack_sequences,
         # --- training-data ops: dedup family ---
         "dedup_exact_transcripts": training_data.dedup_exact_transcripts,
         "dedup_minhash_signature": training_data.dedup_minhash_signature,
@@ -419,6 +420,29 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 10
         """,
         # --- training-data ops ---------------------------------------------
+        # true SQL mirror of the packing window: cumsum per source in
+        # doc_id order, chunk = floor((cum - n)/512), exact integers
+        "doc_pack_sequences": f"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tok
+              FROM documents
+            ), packed AS (
+              SELECT source, n_tok,
+                     sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+              FROM d
+            )
+            SELECT source,
+                   CAST(floor((cum - n_tok) / 512) AS BIGINT) AS chunk_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM packed
+            GROUP BY 1, 2
+        """,
         "doc_token_stats": f"""
             WITH d AS (
               SELECT lang, n_chars,

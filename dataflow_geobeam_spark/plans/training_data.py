@@ -458,3 +458,29 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.where(F.col("_split") == "train")
     eval_df = docs.where(F.col("_split") != "train")
     return contamination(train, eval_df, "doc_id", "text", n=5)
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing census (round 5e) — pack each source's token
+    stream (docs in doc_id order, whitespace token counts) into 512-token
+    training sequences via the windowed cumulative sum
+    (operators/packing.pack_greedy: one exchange on source, one Window
+    node, pure integer arithmetic), then report per (source, chunk):
+    docs starting in the chunk and their token volume. At 100 TB the
+    group key is the shard, groups parallelize, and the assignment is
+    bit-reproducible under retries (no RNG, deterministic order).
+
+    Oracle: the IDENTICAL window SQL in DuckDB (cumsum over doc_id per
+    source; floor((cum - n)/512)) — a true mirror, exact integers.
+    """
+    from dataflow_geobeam_spark.functions.text import token_count
+    from dataflow_geobeam_spark.operators.packing import pack_greedy
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tok")
+    )
+    packed = pack_greedy(docs, "source", "doc_id", "n_tok", seq_len=512)
+    return packed.groupBy("source", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )

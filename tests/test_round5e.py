@@ -654,3 +654,30 @@ def test_contamination_handbuilt_and_plan(spark):
     assert rows == {1: 2}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_pack_greedy_handbuilt_and_plan(spark):
+    """Hand-built stream: token counts [300, 300, 300] at L=512 pack as
+    doc0 -> chunk 0, doc1 -> chunk 0 (starts at 300), doc2 -> chunk 1
+    (starts at 600); a second group packs independently. One exchange +
+    one Window node in the executed plan."""
+    from dataflow_geobeam_spark.operators.packing import pack_greedy
+
+    df = spark.createDataFrame(
+        [(1, "a", 300), (2, "a", 300), (3, "a", 300), (1, "b", 600), (2, "b", 100)],
+        "doc_id long, source string, n_tok long",
+    )
+    out = pack_greedy(df, "source", "doc_id", "n_tok", 512)
+    got = {(r["source"], r["doc_id"]): (r["cum_tokens"], r["chunk_id"]) for r in out.collect()}
+    assert got == {
+        ("a", 1): (300, 0),
+        ("a", 2): (600, 0),
+        ("a", 3): (900, 1),
+        ("b", 1): (600, 0),
+        ("b", 2): (700, 1),
+    }
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert final.count("Window [") == 1
