@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "audio_specaugment",
     "audio_cmvn",
     "events_pattern_bounded",
+    # round-5e: decontamination screen + the capstone clean->split->augment
+    # composite (two decode passes + dedup shuffle + byte-producing kernel)
+    "doc_decontaminate",
+    "pipeline_build_training_corpus",
 ]
 
 
