@@ -231,6 +231,24 @@ ANNOTATED = {
         "node (decode + resample + log-mel + deterministic mask + means), "
         "zero exchanges."
     ),
+    "doc_decontaminate": (
+        "Train/eval decontamination (round 5e). Expect: eval grams "
+        "DISTINCT then BroadcastExchange; the train side explodes and "
+        "broadcast-hash-joins WITHOUT a prior exchange; per-doc distinct "
+        "count is the only shuffle."
+    ),
+    "doc_pack_sequences": (
+        "Sequence packing (round 5e). Expect: ONE exchange on source, ONE "
+        "Window node (running sum), then partial+final HashAggregate — "
+        "pure integer arithmetic, no Python nodes."
+    ),
+    "pipeline_build_training_corpus": (
+        "CAPSTONE clean -> split -> augment (round 5e). Expect: one "
+        "decode-metrics MapInArrow pass + the dedup exchange (clean), a "
+        "pure-Catalyst split predicate, a join of surviving ids back onto "
+        "the clips scan, then ONE augment MapInArrow pass over kept rows "
+        "only; no cartesian anywhere."
+    ),
 }
 
 
