@@ -406,3 +406,49 @@ def fp_match_stream_vs_corpus(
     else:
         writer = writer.trigger(processingTime="2 seconds")
     return writer.start()
+
+
+def contamination_stream_vs_eval(
+    stream_docs: DataFrame,
+    eval_docs: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    available_now: bool = True,
+):
+    """STREAMING decontamination — the crawl-admission screen (round 5e):
+    candidate documents arrive as a stream and are checked for n-gram
+    overlap against a STATIC held-out eval set before admission to the
+    training corpus, the streaming form of
+    ``operators/dedup.contamination``.
+
+    A document's grams are wholly contained in its own stream row, so
+    per-batch screening with the exact BATCH operator inside
+    ``foreachBatch`` is semantically exact (the fp_match_stream
+    precedent) — no streaming state beyond the sink's epoch protocol;
+    each epoch commits idempotently through the exactly-once sink, so a
+    kill/restart replays to the identical committed contamination set.
+
+    ``eval_docs`` MUST be materialized by the caller (persist/
+    localCheckpoint/parquet) — foreachBatch re-evaluates the static side
+    per epoch. Returns the started StreamingQuery; read flagged docs via
+    ``sink.read_latest(spark, [id_col])``.
+    """
+    from dataflow_geobeam_spark.operators.dedup import contamination
+
+    def _fn(batch_df: DataFrame, epoch_id: int) -> None:
+        flagged = contamination(batch_df, eval_docs, id_col, text_col, n)
+        sink.write_batch(flagged, epoch_id)
+
+    writer = (
+        stream_docs.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_fn)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="2 seconds")
+    return writer.start()

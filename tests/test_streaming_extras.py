@@ -222,3 +222,54 @@ def test_partition_stats_from_lineage(spark, tmp_path):
     assert sum(r.rows_committed for r in stats) == 200
     assert {r._epoch_id for r in stats} == {0, 1}
     assert len({r._source_partition for r in stats}) >= 2
+
+
+def test_contamination_stream_vs_eval_equals_batch(spark, tmp_path):
+    """The crawl-admission screen: documents streamed as 4 micro-batches
+    against a static eval set commit exactly the batch operator's
+    contaminated set through the exactly-once sink."""
+    import pyarrow.parquet as apq
+
+    from dataflow_geobeam_spark.operators.dedup import contamination
+    from dataflow_geobeam_spark.operators.split import assign_split
+    from dataflow_geobeam_spark.streaming.extras import contamination_stream_vs_eval
+    from dataflow_geobeam_spark.streaming.sink import ExactlyOnceParquetSink
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    docs = spark.read.parquet(src).select("doc_id", "text")
+    labeled = assign_split(docs, "doc_id")
+    train = labeled.where("split = 'train'").drop("split")
+    eval_df = labeled.where("split != 'train'").drop("split").localCheckpoint(eager=True)
+
+    want = {tuple(r) for r in contamination(train, eval_df).collect()}
+    assert len(want) > 0
+
+    # stream the train docs as 4 files
+    t = apq.read_table(src, columns=["doc_id", "text"])
+    stream_dir = tmp_path / "doc_stream"
+    stream_dir.mkdir()
+    per = (t.num_rows + 3) // 4
+    for f in range(4):
+        apq.write_table(t.slice(f * per, per), str(stream_dir / f"part-{f:04d}.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+    # the admission screen filters to train inside the stream projection
+    from dataflow_geobeam_spark.operators.split import split_expr
+    from pyspark.sql import functions as F
+
+    train_stream = stream.where(split_expr(F.col("doc_id")) == "train")
+    sink = ExactlyOnceParquetSink(str(tmp_path / "contam_table"))
+    q = contamination_stream_vs_eval(
+        train_stream, eval_df, sink, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    got = {
+        tuple(r)
+        for r in sink.read_latest(spark, ["doc_id"])
+        .select("doc_id", "n_overlap")
+        .collect()
+    }
+    assert got == want
