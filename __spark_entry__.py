@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_speed_perturb": audio.audio_speed_perturb,
         "audio_cmvn": audio.audio_cmvn,
         "audio_specaugment": audio.audio_specaugment,
+        "audio_normalize_loudness": audio.audio_normalize_loudness,
         "audio_corpus_split": audio.audio_corpus_split,
         "audio_align_tokens": audio.audio_align_tokens,
         "audio_spectral": audio.audio_spectral,
@@ -243,9 +244,13 @@ def oracle_sql() -> dict[str, str]:
 
     ensure_golden_augment("/root/testdata/sf0.01")
     ensure_golden_speed("/root/testdata/sf0.01")
-    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_specaugment
+    from dataflow_geobeam_spark.fixtures.generate import (
+        ensure_golden_loudnorm,
+        ensure_golden_specaugment,
+    )
 
     ensure_golden_specaugment("/root/testdata/sf0.01")
+    ensure_golden_loudnorm("/root/testdata/sf0.01")
     from dataflow_geobeam_spark.fixtures.generate import (
         ensure_golden_mel,
         ensure_golden_mfcc,
@@ -588,6 +593,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT clip_id, f0, f_w, t0, t_w, n_frames,
                    {", ".join(f"m{m:02d}" for m in range(16))}
             FROM read_parquet('{FIXTURES_SF01}/golden_specaugment.parquet')
+        """,
+        "audio_normalize_loudness": f"""
+            SELECT clip_id, n_samples, norm_md5
+            FROM read_parquet('{FIXTURES_SF01}/golden_loudnorm.parquet')
         """,
         # true SQL mirror of the deterministic md5-prefix split expression
         # (operators/split.split_sql emits the same CASE both engines run)

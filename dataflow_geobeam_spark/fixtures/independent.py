@@ -811,3 +811,31 @@ def specaugment_means(pcm, sr_hz: int, key: int, f_max: int = 4, t_max: int = 20
         for m in range(n_mels):
             mean[m] = mean[m] + out[t, m]
     return f0, f_w, t0, t_w, n_frames, mean / float(n_frames)
+
+
+def normalize_loudness(pcm, target_rms: float = 0.1, peak_cap: float = 0.999):
+    """Independent mirror of functions/audio.normalize_loudness_np: scalar
+    left-to-right power fold (matches the engine's cumsum bit for bit), a
+    scalar peak walk, the same min() gain rule, per-sample multiply."""
+    import math
+
+    x = np.asarray(pcm, dtype=np.float64)
+    n = x.shape[0]
+    if n == 0:
+        return x
+    acc = 0.0
+    for i in range(n):
+        acc = acc + x[i] * x[i]
+    p = acc / n
+    if p <= 0.0:
+        return x
+    peak = 0.0
+    for i in range(n):
+        a = abs(x[i])
+        if a > peak:
+            peak = a
+    gain = min(target_rms / math.sqrt(p), peak_cap / peak)
+    out = np.empty(n)
+    for i in range(n):
+        out[i] = x[i] * gain
+    return out

@@ -1217,3 +1217,100 @@ def with_specaugment(
             )
 
     return df.mapInArrow(fn, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-5e: loudness (RMS) normalization — gain-prep before augmentation
+# ---------------------------------------------------------------------------
+
+
+def normalize_loudness_np(pcm, target_rms: float = 0.1, peak_cap: float = 0.999):
+    """Scale a clip to a target RMS, peak-safe: gain = target_rms / rms,
+    capped so the scaled peak never exceeds ``peak_cap`` (no clipping is
+    introduced — the cap, not a clip, enforces the ceiling). Silent clips
+    pass through unchanged (gain 1). Deterministic, RNG-free.
+
+    Exact arithmetic spec (shared with fixtures/independent.
+    normalize_loudness): rms via the cumsum power fold (augment_noise_np's
+    contract), peak = max(|x|) (order-free), gain = min(target/rms,
+    peak_cap/peak), out = x * gain elementwise.
+    """
+    import math
+
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.size == 0:
+        return x
+    p = float(np.cumsum(x * x)[-1]) / x.size
+    if p <= 0.0:
+        return x
+    rms = math.sqrt(p)
+    peak = float(np.max(np.abs(x)))
+    gain = min(target_rms / rms, peak_cap / peak)
+    return x * gain
+
+
+def with_normalized_loudness(
+    df,
+    target_rms: float = 0.1,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+):
+    """Decode -> peak-safe RMS normalize -> RIFF/WAVE PCM16 re-encode in
+    ONE mapInArrow pass (the gain-prep stage run before feature
+    extraction / augmentation so heterogeneous crawl loudness doesn't
+    leak into features). Output: (clip_id, n_samples, norm) — ``norm``
+    the normalized wav bytes; decode failure yields no row."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dataflow_geobeam_spark.functions.decode import _binary_views
+
+    out_schema = StructType(
+        [
+            StructField(id_col, StringType(), False),
+            StructField("n_samples", LongType(), False),
+            StructField("norm", BinaryType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from dataflow_geobeam_spark import codecs
+
+        for batch in batches:
+            names = batch.schema.names
+            bufs = _binary_views(batch.column(names.index(bytes_col)))
+            ids = batch.column(names.index(id_col)).to_pylist()
+            codec_vals = batch.column(names.index(codec_col)).to_pylist()
+            sr_vals = batch.column(names.index(sr_col)).to_pylist()
+            out_id, out_n, out_bytes = [], [], []
+            for cid, buf, c, sr in zip(ids, bufs, codec_vals, sr_vals):
+                try:
+                    pcm, _sr = codecs.decode(buf, c)
+                except Exception:  # noqa: BLE001 - decode failure => no row
+                    continue
+                y = normalize_loudness_np(pcm, target_rms)
+                out_id.append(cid)
+                out_n.append(y.shape[0])
+                out_bytes.append(codecs.encode_wav(y, sr or _sr))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, type=pa.string()),
+                    pa.array(out_n, type=pa.int64()),
+                    pa.array(out_bytes, type=pa.binary()),
+                ],
+                names=[id_col, "n_samples", "norm"],
+            )
+
+    return df.mapInArrow(fn, out_schema)

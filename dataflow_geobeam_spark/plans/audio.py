@@ -890,3 +890,28 @@ def pipeline_build_training_corpus(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("n_samples").cast("long").alias("n_samples"),
         F.md5("aug").alias("aug_md5"),
     )
+
+
+def audio_normalize_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness (RMS) normalization (round 5e) — the gain-prep stage
+    before feature extraction / augmentation: decode -> peak-safe scale
+    to target RMS 0.1 -> RIFF PCM16 re-encode in ONE mapInArrow pass
+    (functions/audio.with_normalized_loudness). RNG-free, so task retries
+    regenerate identical bytes; the cap (not a clip) enforces the peak
+    ceiling so no distortion is introduced. md5 pins every emitted byte.
+
+    Oracle: generation-time golden_loudnorm.parquet — independent decode,
+    scalar power/peak folds, independent RIFF encoder
+    (fixtures/generate.ensure_golden_loudnorm; materialized by
+    oracle_sql() for the oracle dir only).
+    """
+    from dataflow_geobeam_spark.functions.audio import with_normalized_loudness
+
+    fx = ensure_fixtures(sf_dir)
+    df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
+    out = with_normalized_loudness(df)
+    return out.select(
+        "clip_id",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.md5("norm").alias("norm_md5"),
+    )

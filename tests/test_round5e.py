@@ -681,3 +681,30 @@ def test_pack_greedy_handbuilt_and_plan(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1
     assert final.count("Window [") == 1
+
+
+def test_normalize_loudness_kernel_properties():
+    """Engine kernel == independent mirror bit-for-bit; output RMS hits
+    the target when the peak cap doesn't bind, and never exceeds the
+    peak ceiling when it does; silent/empty clips pass through."""
+    import math
+
+    from dataflow_geobeam_spark.audio_synth import synth_pcm
+    from dataflow_geobeam_spark.fixtures import independent
+    from dataflow_geobeam_spark.functions.audio import normalize_loudness_np
+
+    sr = 16000
+    pcm = synth_pcm(555, sr, 400).astype(np.float64)
+    for gain_in in (1.0, 0.05, 3.0):
+        x = pcm * gain_in
+        a = normalize_loudness_np(x)
+        b = independent.normalize_loudness(x)
+        assert np.array_equal(a, b)
+        rms = math.sqrt(float(np.mean(a**2)))
+        peak = float(np.max(np.abs(a)))
+        assert peak <= 0.999 + 1e-12
+        # either the target RMS is reached or the peak cap binds exactly
+        assert abs(rms - 0.1) < 1e-9 or abs(peak - 0.999) < 1e-9
+    z = np.zeros(100)
+    assert np.array_equal(normalize_loudness_np(z), z)
+    assert normalize_loudness_np(np.array([])).size == 0
