@@ -452,3 +452,79 @@ def contamination_stream_vs_eval(
     else:
         writer = writer.trigger(processingTime="2 seconds")
     return writer.start()
+
+
+def pack_greedy_stream(
+    stream_docs: DataFrame,
+    seq_len: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tok",
+):
+    """STREAMING sequence packing (round 5e) — the stateful form of
+    ``operators/packing.pack_greedy``: documents arrive in micro-batches
+    and each group's running token counter lives in typed state
+    (``applyInPandasWithState``), so chunk assignment continues
+    seamlessly across epochs and, through the checkpoint, across
+    restarts — the ingest-time "pack as you crawl" shape.
+
+    Ordering contract: within each (group, micro-batch) docs pack in
+    ``id_col`` order; batches pack in arrival order. When the stream
+    delivers groups' docs in id order (e.g. time-ordered shard files),
+    the assignment equals the batch operator exactly — pinned by
+    tests/test_streaming_extras.py. Returns (id, group, n_tok,
+    cum_tokens, chunk_id) rows.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField(group_col, StringType(), False),
+            StructField(tokens_col, LongType(), False),
+            StructField("cum_tokens", LongType(), False),
+            StructField("chunk_id", LongType(), False),
+        ]
+    )
+    state_schema = StructType([StructField("cum", LongType(), True)])
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        cum = state.get[0] if state.exists else 0
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            if state.exists:
+                state.update((cum,))
+            return
+        batch = pd.concat(frames).sort_values(id_col)
+        ids, toks, cums, chunks = [], [], [], []
+        for did, n in zip(batch[id_col], batch[tokens_col]):
+            n = int(n)
+            start = cum
+            cum += n
+            ids.append(int(did))
+            toks.append(n)
+            cums.append(cum)
+            chunks.append(start // seq_len)
+        state.update((cum,))
+        yield pd.DataFrame(
+            {
+                id_col: ids,
+                group_col: str(key[0]),
+                tokens_col: toks,
+                "cum_tokens": cums,
+                "chunk_id": chunks,
+            }
+        )
+
+    return stream_docs.select(id_col, group_col, tokens_col).groupBy(
+        group_col
+    ).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -273,3 +273,54 @@ def test_contamination_stream_vs_eval_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_pack_greedy_stream_equals_batch(spark, tmp_path):
+    """Streaming packing with a per-group running counter in typed state:
+    when shard files deliver docs in doc_id order, the chunk assignment
+    equals the batch operator exactly — state carries the token counter
+    across micro-batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as apq
+
+    from dataflow_geobeam_spark.functions.text import token_count
+    from dataflow_geobeam_spark.operators.packing import pack_greedy
+    from dataflow_geobeam_spark.streaming.extras import pack_greedy_stream
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    docs = (
+        spark.read.parquet(src)
+        .select("doc_id", "source", token_count("text").alias("n_tok"))
+        .orderBy("doc_id")
+    )
+    want = {
+        (r["doc_id"], r["source"]): (r["cum_tokens"], r["chunk_id"])
+        for r in pack_greedy(docs, "source", "doc_id", "n_tok", 512).collect()
+    }
+
+    t = pa.Table.from_pandas(docs.toPandas())
+    stream_dir = tmp_path / "pack_stream"
+    stream_dir.mkdir()
+    per = (t.num_rows + 3) // 4
+    for f in range(4):
+        apq.write_table(t.slice(f * per, per), str(stream_dir / f"part-{f:04d}.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, n_tok long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+    q = (
+        pack_greedy_stream(stream, 512)
+        .writeStream.format("memory")
+        .queryName("pack_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["doc_id"], r["source"]): (r["cum_tokens"], r["chunk_id"])
+        for r in spark.sql("select * from pack_stream_test").collect()
+    }
+    assert got == want and len(want) == 500
