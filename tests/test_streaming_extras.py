@@ -324,3 +324,65 @@ def test_pack_greedy_stream_equals_batch(spark, tmp_path):
         for r in spark.sql("select * from pack_stream_test").collect()
     }
     assert got == want and len(want) == 500
+
+
+def test_pack_greedy_stream_resumes_counter_from_checkpoint(spark, tmp_path):
+    """The packing counter SURVIVES a query stop/restart: two availableNow
+    runs over the same checkpoint (files added between them) produce the
+    same assignment as one batch pass — the state store carries each
+    group's cum_tokens across the restart."""
+    import pyarrow as pa
+    import pyarrow.parquet as apq
+
+    from dataflow_geobeam_spark.functions.text import token_count
+    from dataflow_geobeam_spark.operators.packing import pack_greedy
+    from dataflow_geobeam_spark.streaming.extras import pack_greedy_stream
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    docs = (
+        spark.read.parquet(src)
+        .select("doc_id", "source", token_count("text").alias("n_tok"))
+        .orderBy("doc_id")
+    )
+    want = {
+        (r["doc_id"], r["source"]): (r["cum_tokens"], r["chunk_id"])
+        for r in pack_greedy(docs, "source", "doc_id", "n_tok", 512).collect()
+    }
+
+    from dataflow_geobeam_spark.streaming.sink import ExactlyOnceParquetSink
+
+    t = pa.Table.from_pandas(docs.toPandas())
+    stream_dir = tmp_path / "pack_stream_resume"
+    stream_dir.mkdir()
+    ckpt = str(tmp_path / "pack_ckpt")
+    sink = ExactlyOnceParquetSink(str(tmp_path / "pack_table"))
+    per = (t.num_rows + 3) // 4
+
+    def run_wave(files):
+        for f in files:
+            apq.write_table(
+                t.slice(f * per, per), str(stream_dir / f"part-{f:04d}.parquet")
+            )
+        stream = (
+            spark.readStream.schema("doc_id long, source string, n_tok long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stream_dir))
+        )
+        q = (
+            pack_greedy_stream(stream, 512)
+            .writeStream.foreachBatch(sink.foreach_batch())
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_wave([0, 1])  # first half, then the query STOPS
+    run_wave([2, 3])  # restart from the same checkpoint
+    got = {
+        (r["doc_id"], r["source"]): (r["cum_tokens"], r["chunk_id"])
+        for r in sink.read(spark)
+        .select("doc_id", "source", "cum_tokens", "chunk_id")
+        .collect()
+    }
+    assert got == want and len(want) == 500
