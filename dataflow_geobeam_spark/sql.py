@@ -73,3 +73,52 @@ def events_tumbling_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY window(ts, '1 hour'), event_type
         """
     )
+
+
+def corpus_split_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic split census via spark.sql — the SAME md5-prefix
+    CASE the DataFrame form and the DuckDB oracle use
+    (operators/split.split_sql emits engine-portable ANSI SQL), proving
+    the split expression is one artifact across all three surfaces."""
+    from dataflow_geobeam_spark.operators.split import split_sql
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT {split_sql("doc_id")} AS split,
+               count(*) AS n_docs,
+               sum(n_chars) AS sum_chars
+        FROM documents
+        GROUP BY 1
+        """
+    )
+
+
+def pack_sequences_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing via spark.sql — the identical window SQL the
+    DuckDB oracle runs; compiles to the same one-exchange/one-Window
+    plan as operators/packing.pack_greedy."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        r"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE size(split(trim(text), '\\s+'))
+                 END AS n_tok
+          FROM documents
+        ), packed AS (
+          SELECT source, n_tok,
+                 sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+          FROM d
+        )
+        SELECT source,
+               CAST(floor((cum - n_tok) / 512) AS BIGINT) AS chunk_id,
+               count(*) AS n_docs,
+               sum(n_tok) AS n_tokens
+        FROM packed
+        GROUP BY 1, 2
+        """
+    )

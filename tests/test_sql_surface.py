@@ -55,3 +55,43 @@ def test_sql_windowed_agg(spark, sf_dir):
     rows = engine_sql.events_tumbling_sql(spark, sf_dir).collect()
     assert len(rows) > 0
     assert all(r.n_events >= 1 for r in rows)
+
+
+def test_corpus_split_sql_equals_dataframe(spark, sf_dir):
+    """The split expression is ONE artifact across three surfaces:
+    spark.sql(split_sql(...)) row-set-equals the DataFrame operator."""
+    from dataflow_geobeam_spark import sql as sqlmod
+    from dataflow_geobeam_spark.operators.split import assign_split
+    from pyspark.sql import functions as F
+
+    got = {tuple(r) for r in sqlmod.corpus_split_sql(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        tuple(r)
+        for r in assign_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .collect()
+    }
+    assert got == want and len(got) == 3
+
+
+def test_pack_sequences_sql_equals_dataframe(spark, sf_dir):
+    """spark.sql window packing equals the pack_greedy DataFrame census."""
+    from dataflow_geobeam_spark import sql as sqlmod
+    from dataflow_geobeam_spark.functions.text import token_count
+    from dataflow_geobeam_spark.operators.packing import pack_greedy
+    from pyspark.sql import functions as F
+
+    got = {tuple(r) for r in sqlmod.pack_sequences_sql(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", token_count("text").alias("n_tok")
+    )
+    want = {
+        tuple(r)
+        for r in pack_greedy(docs, "source", "doc_id", "n_tok", 512)
+        .groupBy("source", "chunk_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .collect()
+    }
+    assert got == want and len(got) > 30
