@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_cmvn": audio.audio_cmvn,
         "audio_specaugment": audio.audio_specaugment,
         "audio_normalize_loudness": audio.audio_normalize_loudness,
+        "audio_augment_reverb": audio.audio_augment_reverb,
         "audio_corpus_split": audio.audio_corpus_split,
         "audio_align_tokens": audio.audio_align_tokens,
         "audio_spectral": audio.audio_spectral,
@@ -251,6 +252,9 @@ def oracle_sql() -> dict[str, str]:
 
     ensure_golden_specaugment("/root/testdata/sf0.01")
     ensure_golden_loudnorm("/root/testdata/sf0.01")
+    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_reverb
+
+    ensure_golden_reverb("/root/testdata/sf0.01")
     from dataflow_geobeam_spark.fixtures.generate import (
         ensure_golden_mel,
         ensure_golden_mfcc,
@@ -597,6 +601,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_normalize_loudness": f"""
             SELECT clip_id, n_samples, norm_md5
             FROM read_parquet('{FIXTURES_SF01}/golden_loudnorm.parquet')
+        """,
+        "audio_augment_reverb": f"""
+            SELECT clip_id, n_samples, rev_md5
+            FROM read_parquet('{FIXTURES_SF01}/golden_reverb.parquet')
         """,
         # true SQL mirror of the deterministic md5-prefix split expression
         # (operators/split.split_sql emits the same CASE both engines run)

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     # single-window-pass bounded/alternation CEP matcher
     "audio_augment_noise",
     "audio_speed_perturb",
+    "audio_normalize_loudness",
     "audio_specaugment",
     "audio_cmvn",
     "events_pattern_bounded",

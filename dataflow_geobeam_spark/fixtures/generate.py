@@ -1768,3 +1768,47 @@ def ensure_golden_loudnorm(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> st
     )
     pq.write_table(tbl, path, compression="zstd")
     return path
+
+
+def ensure_golden_reverb(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+    """Golden for the audio_augment_reverb driver query: per decodable
+    clip, the md5 of the RIFF/WAVE PCM16 re-encode of
+    independent.augment_reverb (independent decode, independent RIR
+    envelope loop + scalar peak walks around the shared FFT core,
+    independent encoder)."""
+    import hashlib
+    import zlib as _zlib
+
+    out_dir = fixtures_dir_for(sf_dir, root)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "golden_reverb.parquet")
+    if os.path.exists(path):
+        return path
+    clips = pq.read_table(
+        os.path.join(ensure_fixtures(sf_dir, root), "clips.parquet"),
+        columns=["clip_id", "bytes", "codec", "sr_hz"],
+    )
+    ids, ns, md5s = [], [], []
+    for cid, buf, codec, sr in zip(
+        clips.column("clip_id").to_pylist(),
+        clips.column("bytes").to_pylist(),
+        clips.column("codec").to_pylist(),
+        clips.column("sr_hz").to_pylist(),
+    ):
+        try:
+            pcm, _sr = independent.decode(buf, codec)
+        except Exception:  # noqa: BLE001 - decode failure => no row
+            continue
+        y = independent.augment_reverb(pcm, sr or _sr, _zlib.crc32(cid.encode("utf-8")))
+        ids.append(cid)
+        ns.append(y.shape[0])
+        md5s.append(hashlib.md5(independent.encode(y, sr or _sr, "wav")).hexdigest())
+    tbl = pa.Table.from_pydict(
+        {
+            "clip_id": pa.array(ids),
+            "n_samples": pa.array(ns, type=pa.int64()),
+            "rev_md5": pa.array(md5s),
+        }
+    )
+    pq.write_table(tbl, path, compression="zstd")
+    return path

@@ -839,3 +839,55 @@ def normalize_loudness(pcm, target_rms: float = 0.1, peak_cap: float = 0.999):
     for i in range(n):
         out[i] = x[i] * gain
     return out
+
+
+def synth_rir(sr_hz: int, key: int, dur_s: float = 0.2, rt60_s: float = 0.15):
+    """Independent mirror of functions/audio.synth_rir_np: same shared
+    random SOURCE (the spec'd generator) and the same numpy elementwise
+    ``exp`` for the decay envelope (the mel_filters/dct2_basis precedent
+    — transcendentals are part of the shared formula; ``math.exp``
+    differs from numpy's vectorized exp by 1 ULP), with the noise*env
+    product applied in a per-tap scalar loop."""
+    m = round(sr_hz * dur_s)
+    noise = np.random.default_rng([20260820, int(key)]).standard_normal(m)
+    env = np.exp(-6.9078 * (np.arange(m, dtype=np.float64) / float(sr_hz)) / rt60_s)
+    ir = np.empty(m)
+    for i in range(m):
+        ir[i] = noise[i] * env[i]
+    ir[0] = 1.0
+    return ir
+
+
+def augment_reverb(pcm, sr_hz: int, key: int):
+    """Independent mirror of functions/audio.augment_reverb_np. The ONE
+    rfft/irfft product at the spec-pinned NFFT is the shared numerical
+    core (the pitch-kernel precedent — same pocketfft, same ULPs); the
+    surrounding structure is independent: scalar peak walks, a scalar
+    NFFT computation, per-sample gain application."""
+    x = np.asarray(pcm, dtype=np.float64)
+    n = x.shape[0]
+    if n == 0:
+        return x
+    peak_in = 0.0
+    for i in range(n):
+        a = abs(x[i])
+        if a > peak_in:
+            peak_in = a
+    if peak_in <= 0.0:
+        return x
+    ir = synth_rir(sr_hz, key)
+    m = ir.shape[0]
+    nfft = 1
+    while nfft < n + m - 1:
+        nfft = nfft * 2
+    y = np.fft.irfft(np.fft.rfft(x, nfft) * np.fft.rfft(ir, nfft), nfft)[:n]
+    peak_out = 0.0
+    for i in range(n):
+        a = abs(y[i])
+        if a > peak_out:
+            peak_out = a
+    g = min(1.0, peak_in / peak_out) if peak_out > 0.0 else 1.0
+    out = np.empty(n)
+    for i in range(n):
+        out[i] = y[i] * g
+    return out

@@ -1314,3 +1314,127 @@ def with_normalized_loudness(
             )
 
     return df.mapInArrow(fn, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-5e: reverberation augmentation (synthetic RIR convolution)
+# ---------------------------------------------------------------------------
+
+RIR_SEED = 20260820  # shared random-source seed (engine + independent mirror)
+
+
+def synth_rir_np(sr_hz: int, key: int, dur_s: float = 0.2, rt60_s: float = 0.15):
+    """Deterministic synthetic room impulse response: exponentially
+    decaying white noise (the standard statistical RIR model), keyed so
+    each clip gets its own reproducible room. Exact spec (shared with
+    fixtures/independent.synth_rir): ``m = round(sr*dur_s)`` taps,
+    ``noise = default_rng([RIR_SEED, key]).standard_normal(m)``,
+    ``env = exp(-6.9078 * t / rt60_s)`` (ln(1000) decay to -60 dB at
+    rt60), ``ir = noise * env`` with ``ir[0] = 1.0`` (unit direct path).
+    All elementwise — order-free."""
+    import numpy as np
+
+    m = round(sr_hz * dur_s)
+    noise = np.random.default_rng([RIR_SEED, int(key)]).standard_normal(m)
+    t = np.arange(m, dtype=np.float64) / float(sr_hz)
+    ir = noise * np.exp(-6.9078 * t / rt60_s)
+    ir[0] = 1.0
+    return ir
+
+
+def augment_reverb_np(pcm, sr_hz: int, key: int):
+    """Convolve a clip with its keyed synthetic RIR and renormalize —
+    the third member of the Kaldi augmentation triple (noise / speed /
+    reverb). Exact spec (shared with the mirror; the pitch-kernel
+    precedent: ONE rfft/irfft at a spec-pinned NFFT is the shared
+    numerical core, so engine and mirror produce identical ULPs):
+
+    * ``NFFT`` = next power of two >= n + m - 1;
+    * ``y = irfft(rfft(x, NFFT) * rfft(ir, NFFT), NFFT)[:n]`` — the
+      direct-path ir[0]=1 keeps the dry signal present;
+    * peak renormalize: ``g = min(1, peak_in / peak_out)`` (order-free
+      maxima), ``out = y * g`` — reverb never raises the peak.
+    Silent/empty clips pass through unchanged.
+    """
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.float64)
+    n = x.size
+    if n == 0:
+        return x
+    peak_in = float(np.max(np.abs(x)))
+    if peak_in <= 0.0:
+        return x
+    ir = synth_rir_np(sr_hz, key)
+    m = ir.size
+    nfft = 1
+    while nfft < n + m - 1:
+        nfft *= 2
+    y = np.fft.irfft(np.fft.rfft(x, nfft) * np.fft.rfft(ir, nfft), nfft)[:n]
+    peak_out = float(np.max(np.abs(y)))
+    g = min(1.0, peak_in / peak_out) if peak_out > 0.0 else 1.0
+    return y * g
+
+
+def with_reverb(
+    df,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+):
+    """Decode -> keyed synthetic-RIR convolution -> RIFF/WAVE PCM16
+    re-encode in ONE mapInArrow pass. Output: (clip_id, n_samples, rev);
+    decode failure yields no row. Deterministic under task retries."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dataflow_geobeam_spark.functions.decode import _binary_views
+
+    out_schema = StructType(
+        [
+            StructField(id_col, StringType(), False),
+            StructField("n_samples", LongType(), False),
+            StructField("rev", BinaryType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from dataflow_geobeam_spark import codecs
+
+        for batch in batches:
+            names = batch.schema.names
+            bufs = _binary_views(batch.column(names.index(bytes_col)))
+            ids = batch.column(names.index(id_col)).to_pylist()
+            codec_vals = batch.column(names.index(codec_col)).to_pylist()
+            sr_vals = batch.column(names.index(sr_col)).to_pylist()
+            out_id, out_n, out_bytes = [], [], []
+            for cid, buf, c, sr in zip(ids, bufs, codec_vals, sr_vals):
+                try:
+                    pcm, _sr = codecs.decode(buf, c)
+                except Exception:  # noqa: BLE001 - decode failure => no row
+                    continue
+                rate = sr or _sr
+                y = augment_reverb_np(pcm, rate, zlib.crc32(cid.encode("utf-8")))
+                out_id.append(cid)
+                out_n.append(y.shape[0])
+                out_bytes.append(codecs.encode_wav(y, rate))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, type=pa.string()),
+                    pa.array(out_n, type=pa.int64()),
+                    pa.array(out_bytes, type=pa.binary()),
+                ],
+                names=[id_col, "n_samples", "rev"],
+            )
+
+    return df.mapInArrow(fn, out_schema)

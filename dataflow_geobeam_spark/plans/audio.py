@@ -915,3 +915,30 @@ def audio_normalize_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_samples").cast("long").alias("n_samples"),
         F.md5("norm").alias("norm_md5"),
     )
+
+
+def audio_augment_reverb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverberation AUGMENTATION (round 5e) — the third member of the
+    Kaldi triple (noise / speed / reverb): each decodable clip is
+    convolved with its own keyed synthetic room impulse response
+    (exponentially decaying noise, unit direct path) and peak-
+    renormalized, decode -> FFT convolution -> RIFF PCM16 re-encode in
+    ONE mapInArrow pass (functions/audio.with_reverb). Deterministic
+    under task retries (keyed RNG, no state). md5 pins every byte.
+
+    Oracle: generation-time golden_reverb.parquet — independent decode,
+    the independent RIR envelope loop + scalar peak walks around the
+    shared FFT core (the pitch-kernel precedent), independent encoder
+    (fixtures/generate.ensure_golden_reverb; materialized by
+    oracle_sql() for the oracle dir only).
+    """
+    from dataflow_geobeam_spark.functions.audio import with_reverb
+
+    fx = ensure_fixtures(sf_dir)
+    df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
+    out = with_reverb(df)
+    return out.select(
+        "clip_id",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.md5("rev").alias("rev_md5"),
+    )

@@ -708,3 +708,31 @@ def test_normalize_loudness_kernel_properties():
     z = np.zeros(100)
     assert np.array_equal(normalize_loudness_np(z), z)
     assert normalize_loudness_np(np.array([])).size == 0
+
+
+def test_reverb_kernel_properties():
+    """Engine reverb == independent mirror bit-for-bit; output peak never
+    exceeds input peak; tails extend energy (a late impulse smears
+    forward); silent/empty clips pass through; same key reproduces."""
+    from dataflow_geobeam_spark.audio_synth import synth_pcm
+    from dataflow_geobeam_spark.fixtures import independent
+    from dataflow_geobeam_spark.functions.audio import augment_reverb_np
+
+    sr = 16000
+    pcm = synth_pcm(808, sr, 600).astype(np.float64)
+    for key in (3, 777):
+        a = augment_reverb_np(pcm, sr, key)
+        b = independent.augment_reverb(pcm, sr, key)
+        assert np.array_equal(a, b)
+        assert float(np.max(np.abs(a))) <= float(np.max(np.abs(pcm))) + 1e-12
+        assert not np.array_equal(a, pcm)  # the room actually did something
+    assert np.array_equal(augment_reverb_np(pcm, sr, 3), augment_reverb_np(pcm, sr, 3))
+    z = np.zeros(500)
+    assert np.array_equal(augment_reverb_np(z, sr, 1), z)
+    assert augment_reverb_np(np.array([]), sr, 1).size == 0
+    # an impulse at t=0 reproduces the (gain-scaled) IR head: energy
+    # appears AFTER the impulse — the causal smear reverb must have
+    imp = np.zeros(2000)
+    imp[0] = 0.5
+    y = augment_reverb_np(imp, sr, 42)
+    assert float(np.sum(np.abs(y[1:]))) > 0.0
