@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "audio_augment_noise",
     "audio_speed_perturb",
     "audio_normalize_loudness",
+    "audio_augment_reverb",
     "audio_specaugment",
     "audio_cmvn",
     "events_pattern_bounded",
