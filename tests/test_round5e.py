@@ -521,6 +521,8 @@ def test_augmentation_streaming_equals_batch(spark, tmp_path):
     from dataflow_geobeam_spark.fixtures import ensure_fixtures
     from dataflow_geobeam_spark.functions.audio import (
         with_augmented_noise,
+        with_normalized_loudness,
+        with_reverb,
         with_speed_perturb,
     )
     from dataflow_geobeam_spark.sources.clips import CLIPS_SCHEMA, read_clips
@@ -545,9 +547,22 @@ def test_augmentation_streaming_equals_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(stream_dir)
     )
+    def rev_proj(df):
+        return df.select("clip_id", "n_samples", F.md5("rev").alias("m"))
+
+    def norm_proj(df):
+        return df.select("clip_id", "n_samples", F.md5("norm").alias("m"))
+
+    batch_rev = {tuple(r) for r in rev_proj(with_reverb(src)).collect()}
+    batch_norm = {
+        tuple(r) for r in norm_proj(with_normalized_loudness(src)).collect()
+    }
+
     for name, build, want in (
         ("aug_noise_stream_test", lambda s: noise_proj(with_augmented_noise(s)), batch_noise),
         ("aug_speed_stream_test", lambda s: speed_proj(with_speed_perturb(s)), batch_speed),
+        ("aug_rev_stream_test", lambda s: rev_proj(with_reverb(s)), batch_rev),
+        ("aug_norm_stream_test", lambda s: norm_proj(with_normalized_loudness(s)), batch_norm),
     ):
         q = (
             build(stream.select(*cols))
