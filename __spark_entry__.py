@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_sample": training_data.doc_mixture_sample,
         "doc_decontaminate": training_data.doc_decontaminate,
         "doc_pack_sequences": training_data.doc_pack_sequences,
+        "doc_top_bigrams": training_data.doc_top_bigrams,
         # --- training-data ops: dedup family ---
         "dedup_exact_transcripts": training_data.dedup_exact_transcripts,
         "dedup_minhash_signature": training_data.dedup_minhash_signature,
@@ -429,6 +430,29 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 10
         """,
         # --- training-data ops ---------------------------------------------
+        # top-k bigrams by document frequency: identical shingle formulation
+        # (per-doc distinct), deterministic tie-break (count desc, gram asc)
+        "doc_top_bigrams": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 2 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, len(toks) - 1),
+                         i -> array_to_string(list_slice(toks, i, i + 1), ' ')))
+                     ELSE []::VARCHAR[] END AS grams
+              FROM d
+            )
+            SELECT g AS gram, CAST(count(*) AS BIGINT) AS n_docs
+            FROM (SELECT doc_id, unnest(grams) AS g FROM sh)
+            GROUP BY g
+            ORDER BY n_docs DESC, gram ASC
+            LIMIT 20
+        """,
         # true SQL mirror of the packing window: cumsum per source in
         # doc_id order, chunk = floor((cum - n)/512), exact integers
         "doc_pack_sequences": f"""

@@ -484,3 +484,22 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
     )
+
+
+def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics for tokenizer training (round 5e):
+    the top-20 word bigrams by document frequency with deterministic
+    tie-breaking (count desc, gram asc). Shape: per-doc DISTINCT shingles
+    (functions/text.shingles, the minhash-gated expression) -> explode ->
+    one partial+final hash aggregate -> TakeOrderedAndProject (top-k
+    never sorts the full gram table). The df-weighted merge rule is what
+    BPE/WordPiece trainers consume at corpus scale.
+
+    Oracle: the identical shingle SQL + count + ORDER BY/LIMIT in DuckDB.
+    """
+    from dataflow_geobeam_spark.functions.text import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(F.explode(shingles("text", 2)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return counts.orderBy(F.desc("n_docs"), F.asc("gram")).limit(20)
