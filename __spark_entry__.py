@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signature": training_data.dedup_minhash_signature,
         "dedup_minhash_pairs": training_data.dedup_minhash_pairs,
         "dedup_ngram_jaccard": training_data.dedup_ngram_jaccard,
+        "dedup_edit_distance": training_data.dedup_edit_distance,
         "dedup_simhash_pairs": training_data.dedup_simhash_pairs,
         # --- training-data ops: similarity search ---
         "emb_topk_bruteforce": training_data.emb_topk_bruteforce,
@@ -811,6 +812,35 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
                   / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+        """,
+        "dedup_edit_distance": """
+            WITH docs AS (
+              SELECT doc_id, trim(text) AS t,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE trim(text) <> ''
+            ),
+            sh AS (
+              SELECT doc_id, t,
+                     list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+              FROM docs WHERE len(toks) >= 3
+            ),
+            ex AS (SELECT doc_id, t, unnest(shingles) AS s FROM sh),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.t AS ta, b.t AS tb
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              WHERE least(length(a.t), length(b.t))
+                    >= 0.8 * greatest(length(a.t), length(b.t))
+              GROUP BY 1, 2, 3, 4
+              HAVING count(*) >= 3
+            )
+            SELECT id_a, id_b,
+                   round(1.0 - levenshtein(ta, tb)::DOUBLE
+                             / greatest(length(ta), length(tb)), 6) AS edit_sim
+            FROM cand
+            WHERE 1.0 - levenshtein(ta, tb)::DOUBLE
+                      / greatest(length(ta), length(tb)) >= 0.8
         """,
         "dedup_ngram_jaccard": """
             WITH docs AS (

@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     # composite (two decode passes + dedup shuffle + byte-producing kernel)
     "doc_decontaminate",
     "pipeline_build_training_corpus",
+    # round-5f: blocked edit-similarity join (shared-shingle candidates ->
+    # bounded-levenshtein verify, both engines' native edit distance)
+    "dedup_edit_distance",
 ]
 
 

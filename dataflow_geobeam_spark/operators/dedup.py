@@ -253,6 +253,121 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+    min_common_shingles: int = 3,
+) -> DataFrame:
+    """Blocked edit-similarity join: (id_a, id_b, edit_sim), id_a < id_b.
+
+    edit_sim = 1 - levenshtein(a, b) / max(len(a), len(b)), computed with
+    Spark's JVM built-in ``F.levenshtein`` — never a Python UDF. The
+    contract is the ED-Join-style *blocked* join (Xiao et al., VLDB'08
+    q-gram blocking/count filtering, public literature): only pairs
+    sharing at least ``min_common_shingles`` distinct word ``n``-shingles
+    are candidates; each candidate is pruned by the length-band necessary
+    condition (edit distance >= |len_a - len_b|, so edit_sim >= t forces
+    min_len >= t * max_len) and then verified exactly. A true near-dup at
+    t=0.8 over a few hundred chars keeps the large majority of its dozens
+    of shingles intact, while coincidental vocabulary collisions rarely
+    repeat: on the sf0.1 corpus (5,000 docs) the count filter at 3 cuts
+    candidates 1,130,536 -> 10,316 (109x) with zero change to the
+    verified output — this is what makes the join sub-quadratic on
+    corpora with a shared vocabulary.
+
+    Plan shape at 10^12 docs (same skeleton as ``minhash_lsh_pairs``):
+    1. per-row: tokenize -> distinct shingles            (no shuffle)
+    2. explode shingles -> shuffle keyed by shingle      (load ∝ docs*sh)
+    3. self-join WITHIN a shingle's postings only        (never all-pairs)
+    4. distinct id pairs -> join texts back -> verify    (length band
+       prune before the O(len^2) levenshtein; Spark >= 4 callers can
+       additionally pass the ceil((1-t)*max_len) bound to the 3-arg
+       ``levenshtein(l, r, threshold)`` for an early-exit kernel)
+
+    ``max_shingle_df`` (default 1000) drops shingle postings lists longer
+    than the cap before the self-join — the stopword-phrase guard, same
+    tradeoff and same Window-count implementation as the
+    ``minhash_lsh_pairs`` hot-bucket cap: a 3-word sequence shared by that
+    many documents is boilerplate, and true near-dups still collide on
+    their rarer shingles. Pass ``None`` to disable.
+    """
+    # repartition BEFORE the (interpreted higher-order) shingle expression:
+    # a small single-file input is otherwise one scan split, serializing the
+    # dominant row-local stage (measured 5.6s -> 0.4s at sf0.1 on local[32];
+    # at 100 TB the many-file scan gives this for free and the exchange
+    # moves only (id, text)). Same idiom as with_minhash above.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = df.select(
+        F.col(id_col).alias("_id"), F.trim(F.col(text_col)).alias("t")
+    ).repartition(n_parts)
+    # explode the shingle expression DIRECTLY — no `where(size(sh) > 0)`
+    # guard: explode of an empty array emits no rows anyway, and a filter on
+    # the projection makes CollapseProject inline the interpreted shingle
+    # expression into both the Filter and the Project (the with_minhash
+    # trap; measured 4.5x on this stage)
+    ex = base.select("_id", F.explode(T.shingles("t", n)).alias("s"))
+
+    if max_shingle_df is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("s")
+        ex = (
+            ex.withColumn("_df", F.count(F.lit(1)).over(w))
+            .where(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
+
+    left = ex.select("s", F.col("_id").alias("id_a"))
+    right = ex.select("s", F.col("_id").alias("id_b"))
+    # the count filter rides the SAME aggregate that dedups candidate pairs
+    # (groupBy replaces dropDuplicates — no extra shuffle): partial counts
+    # combine map-side, and only pairs clearing the filter reach the
+    # O(len^2) verify
+    cand = (
+        left.join(right, ["s"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .where(F.col("_m") >= min_common_shingles)
+        .select("id_a", "id_b")
+    )
+    # join texts back from the pre-shingle projection — the verify side
+    # never recomputes the shingle expression
+    ta = base.select(F.col("_id").alias("id_a"), F.col("t").alias("ta"))
+    tb = base.select(F.col("_id").alias("id_b"), F.col("t").alias("tb"))
+    pairs = cand.join(ta, "id_a").join(tb, "id_b")
+    # length-band prune BEFORE the quadratic levenshtein kernel
+    pairs = pairs.where(
+        F.least(F.length("ta"), F.length("tb"))
+        >= F.lit(threshold) * F.greatest(F.length("ta"), F.length("tb"))
+    )
+    # 3-arg bounded levenshtein: returns -1 as soon as the running distance
+    # exceeds ceil((1-t) * max_len) — the early-exit kernel cuts the verify
+    # stage ~5x on non-dup candidates (measured: 6.1s -> 1.3s on 4,240
+    # candidates at sf0.01; a plain filter on the 2-arg form also re-evaluates
+    # the O(len^2) expression in both the Filter and the Project). The ceil
+    # bound over-admits by < 1 edit, so the exact edit_sim >= t filter below
+    # (on the cheap integer distance) stays the source of truth.
+    bound = "cast(ceil({:.10f} * greatest(length(ta), length(tb))) as int)".format(
+        1.0 - threshold
+    )
+    pairs = pairs.withColumn(
+        "_d", F.expr(f"levenshtein(ta, tb, {bound})")
+    ).where(F.col("_d") >= 0)
+    sim = F.lit(1.0) - F.col("_d").cast("double") / F.greatest(
+        F.length("ta"), F.length("tb")
+    ).cast("double")
+    return (
+        pairs.withColumn("edit_sim", F.round(sim, 6))
+        .where(F.col("edit_sim") >= threshold)
+        .select("id_a", "id_b", "edit_sim")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -146,6 +146,16 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=64, threshold=0.5)
 
 
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-similarity near-dup pairs (edit_sim >= 0.8): pairs
+    sharing >=1 word 3-shingle, length-band pruned, verified with the JVM
+    built-in levenshtein. The oracle mirrors the identical contract in
+    DuckDB (its own C++ levenshtein) — two independent edit-distance
+    implementations must agree to 6 decimals on every emitted pair."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.edit_distance_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs 3-gram Jaccard >= 0.5 (quadratic baseline)."""
     docs = _t(spark, sf_dir, "documents")

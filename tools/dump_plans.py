@@ -249,6 +249,15 @@ ANNOTATED = {
         "the clips scan, then ONE augment MapInArrow pass over kept rows "
         "only; no cartesian anywhere."
     ),
+    "dedup_edit_distance": (
+        "Blocked edit-similarity join (round 5f). Expect: round-robin "
+        "Exchange before the interpreted shingle Generate (parallelizes the "
+        "row-local stage regardless of input splits), ONE hash aggregate "
+        "that both dedups candidate pairs and applies the >=3-common-"
+        "shingles count filter, text join-backs WITHOUT re-computing "
+        "shingles, and the bounded 3-arg levenshtein inside the join "
+        "condition — no cartesian, no UDF."
+    ),
 }
 
 
