@@ -64,6 +64,25 @@ CLIPS_SCHEMA = pa.schema(
 )
 
 
+def _write_table_atomic(tbl: pa.Table, path: str, **kwargs) -> None:
+    """Crash-safe parquet write. Every ensure_* golden below is
+    existence-gated (``if os.path.exists(path): return path``), so a kill
+    mid-write — driver timeout, SIGKILL between gate phases — must not leave
+    a truncated file at the final path: it would be trusted as a valid cache
+    forever and fail every later hash gate. Write to a pid-unique temp name
+    in the same directory, then ``os.replace`` (atomic on POSIX). The pid
+    suffix also makes concurrent generators (pytest and the driver gate can
+    race on the same fixtures root) last-writer-wins on identical content
+    instead of interleaving bytes into one file."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        pq.write_table(tbl, tmp, **kwargs)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 def sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(os.path.normpath(sf_dir))
     if base.startswith("sf"):
@@ -223,7 +242,7 @@ def generate_fixtures(out_dir: str, n_rows: int) -> dict:
     # Bounded row groups: the row group is the scan-split unit (the engine's
     # analog of the reference's native raster block windows, geobeam/io.py:79-81);
     # ~256 rows x ~50 KB payloads keeps each unit ~13 MB and splittable.
-    pq.write_table(
+    _write_table_atomic(
         clips_tbl,
         os.path.join(out_dir, "clips.parquet"),
         compression="zstd",
@@ -238,7 +257,7 @@ def generate_fixtures(out_dir: str, n_rows: int) -> dict:
             "t_ts": pa.array([t["t_ts"] for t in trows], type=pa.timestamp("us")),
         }
     )
-    pq.write_table(t_tbl, os.path.join(out_dir, "transcripts_late.parquet"), compression="zstd")
+    _write_table_atomic(t_tbl, os.path.join(out_dir, "transcripts_late.parquet"), compression="zstd")
 
     g_tbl = pa.Table.from_pydict(
         {
@@ -256,7 +275,7 @@ def generate_fixtures(out_dir: str, n_rows: int) -> dict:
             "valid": [g["valid"] for g in golden],
         }
     )
-    pq.write_table(g_tbl, os.path.join(out_dir, "golden_clips.parquet"), compression="zstd")
+    _write_table_atomic(g_tbl, os.path.join(out_dir, "golden_clips.parquet"), compression="zstd")
 
     manifest = {
         "version": FIXTURE_VERSION,
@@ -265,8 +284,11 @@ def generate_fixtures(out_dir: str, n_rows: int) -> dict:
         "n_transcripts": len(trows),
         "n_valid": sum(1 for g in golden if g["valid"]),
     }
-    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
+    manifest_path = os.path.join(out_dir, "MANIFEST.json")
+    tmp = f"{manifest_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
+    os.replace(tmp, manifest_path)
     return manifest
 
 
@@ -352,7 +374,7 @@ def ensure_golden_frames(out_dir: str, n_rows: int) -> str | None:
             "frame_rms": pa.array([f["frame_rms"] for f in frames], type=pa.float64()),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path
 
 
@@ -415,7 +437,7 @@ def ensure_golden_spectral(out_dir: str, n_rows: int) -> str | None:
             ),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path
 
 
@@ -526,7 +548,7 @@ def ensure_golden_lsh_topk(
             "rank": pa.array([r["rank"] for r in rows], type=pa.int32()),
         }
     )
-    pq.write_table(tbl_out, path, compression="zstd")
+    _write_table_atomic(tbl_out, path, compression="zstd")
     return path
 
 
@@ -568,7 +590,7 @@ def ensure_embeddings_hd(
             "embedding": pa.array([v for v in vecs.tolist()], type=pa.list_(pa.float32())),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path
 
 
@@ -629,7 +651,7 @@ def ensure_golden_near_dups(
             "cosine": pa.array([r["cosine"] for r in rows], type=pa.float64()),
         }
     )
-    pq.write_table(tbl_out, path, compression="zstd")
+    _write_table_atomic(tbl_out, path, compression="zstd")
     return path
 
 
@@ -697,7 +719,7 @@ def ensure_golden_ivf_topk(
             "rank": pa.array([r["rank"] for r in rows], type=pa.int32()),
         }
     )
-    pq.write_table(tbl_out, path, compression="zstd")
+    _write_table_atomic(tbl_out, path, compression="zstd")
     return path
 
 
@@ -710,17 +732,42 @@ IMG_ROWS_PER_SF = 6400  # sf0.01 -> 64, sf0.1 -> 640
 THUMB_W, THUMB_H = 16, 12
 
 
-_IMG_FMTS = ("ppm", "bmp", "pgm", "png")
+_IMG_FMTS = ("ppm", "bmp", "pgm", "png", "jpeg")
 _PNG_CTS = (2, 6, 0)  # RGB, RGBA(opaque), grayscale — all lossless round-trips
+# (subsampling, gray, restart_interval): exercises 4:4:4, 4:2:0,
+# single-component grayscale, and DRI/RSTn restart handling in BOTH
+# decoders. JPEG is lossy — goldens always come from the independent
+# decode of the actual bytes, so lossiness never enters the compare.
+_JPG_VARIANTS = (("444", False, 0), ("420", False, 0), ("444", True, 0), ("420", False, 3))
 
 
-def _encode_image(img: np.ndarray, fmt: str, png_ct: int = 2) -> bytes:
+def _is_gray_fmt(fmt: str, png_ct: int, jpg_var: tuple[str, bool, int]) -> bool:
+    """Containers that store one channel: feed them identical-channel
+    images so the uniform (h, w, 3) decode contract holds exactly."""
+    return (
+        fmt == "pgm"
+        or (fmt == "png" and png_ct == 0)
+        or (fmt == "jpeg" and jpg_var[1])
+    )
+
+
+def _encode_image(
+    img: np.ndarray,
+    fmt: str,
+    png_ct: int = 2,
+    jpg_var: tuple[str, bool, int] = _JPG_VARIANTS[0],
+) -> bytes:
     if fmt == "ppm":
         return independent.ppm_bytes(img)
     if fmt == "bmp":
         return independent.bmp_bytes(img)
     if fmt == "png":
         return independent.png_bytes(img, png_ct)
+    if fmt == "jpeg":
+        sub, gray, rst = jpg_var
+        return independent.jpeg_bytes(
+            img, subsampling=sub, gray=gray, restart_interval=rst
+        )
     return independent.pgm_bytes(img)
 
 
@@ -729,48 +776,54 @@ def ensure_images(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
     binary, fmt string, width int32, height int32).
 
     Deterministic noise RGB images cycling PPM (P6, with a header
-    comment), 24bpp BMP, P5 PGM, and (round 5) 8-bit PNG containers —
-    PNGs cycle color types RGB / opaque-RGBA / grayscale and ALL five
-    scanline filters, so every unfilter path decodes for real; grayscale
-    rows keep identical channels so the round-trip stays lossless —
-    encoded by the INDEPENDENT from-spec writers in fixtures.independent
-    (the engine's decoders in functions/imaging.py never touch these
-    bytes at generation time). Planted content: every i%9==4 image is a
-    near-duplicate of image i-1 (same pixels +-2, same dims, same
-    container) for the image near-dup query. ~8% of payloads are
-    truncated mid-raster: decode-failure rows the engine must surface as
-    NULL thumbnails / drop from embeddings (F1/make_valid semantics).
+    comment), 24bpp BMP, P5 PGM, 8-bit PNG and (round 5) baseline JPEG
+    containers. PNGs cycle color types RGB / opaque-RGBA / grayscale and
+    ALL five scanline filters, so every unfilter path decodes for real;
+    JPEGs cycle 4:4:4 / 4:2:0 / grayscale / restart-interval variants so
+    every entropy + upsample path decodes for real. Grayscale rows keep
+    identical channels; JPEG rows are lossy by design — goldens always
+    derive from the independent decode of the stored bytes, never from
+    the pre-encode pixels. All encoded by the INDEPENDENT from-spec
+    writers in fixtures.independent (the engine's decoders in
+    functions/imaging.py never touch these bytes at generation time).
+    Planted content: every i%9==4 image is a near-duplicate of image i-1
+    (same pixels +-2 pre-encode, same dims, same container+variant) for
+    the image near-dup query. ~8% of payloads are truncated mid-raster:
+    decode-failure rows the engine must surface as NULL thumbnails / drop
+    from embeddings (F1/make_valid semantics).
     """
     out_dir = fixtures_dir_for(sf_dir, root)
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, "images_v2.parquet")
+    path = os.path.join(out_dir, "images_v3.parquet")
     if os.path.exists(path):
         return path
     n = max(64, int(IMG_ROWS_PER_SF * sf_from_dir(sf_dir)))
     ids, bufs, fmts, ws, hs = [], [], [], [], []
     prev_img, prev_fmt, prev_ct = None, None, 2
+    prev_jpgv = _JPG_VARIANTS[0]
     for i in range(n):
         rng = np.random.default_rng([SEED, 9_000_000 + i])
         png_ct = _PNG_CTS[(i // 4) % 3]
+        jpg_var = _JPG_VARIANTS[(i // 5) % 4]
         if i % 9 == 4 and prev_img is not None:
             # planted near-dup: same dims/container as i-1, pixels +-2
             noise = rng.integers(-2, 3, prev_img.shape)
             img = np.clip(prev_img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
-            fmt, png_ct = prev_fmt, prev_ct
-            if fmt == "pgm" or (fmt == "png" and png_ct == 0):
-                # keep channels identical for the grayscale round-trips
+            fmt, png_ct, jpg_var = prev_fmt, prev_ct, prev_jpgv
+            if _is_gray_fmt(fmt, png_ct, jpg_var):
+                # keep channels identical for the grayscale containers
                 img = np.repeat(img[:, :, :1], 3, axis=2)
         else:
             w = 16 + int(rng.integers(0, 49))
             h = 12 + int(rng.integers(0, 37))
-            fmt = _IMG_FMTS[i % 4]
-            if fmt == "pgm" or (fmt == "png" and png_ct == 0):
+            fmt = _IMG_FMTS[i % 5]
+            if _is_gray_fmt(fmt, png_ct, jpg_var):
                 gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
                 img = np.repeat(gray[:, :, None], 3, axis=2)
             else:
                 img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-        buf = _encode_image(img, fmt, png_ct)
-        prev_img, prev_fmt, prev_ct = img, fmt, png_ct
+        buf = _encode_image(img, fmt, png_ct, jpg_var)
+        prev_img, prev_fmt, prev_ct, prev_jpgv = img, fmt, png_ct, jpg_var
         if i % 13 == 5:  # truncate mid-raster; magic bytes survive
             buf = buf[: max(8, int(len(buf) * 0.6))]
         ids.append(f"img{i:06d}")
@@ -787,7 +840,7 @@ def ensure_images(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
             "height": pa.array(hs, type=pa.int32()),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path
 
 
@@ -809,7 +862,7 @@ def ensure_golden_thumbnails(
 
     images_path = ensure_images(sf_dir, root)
     out_dir = fixtures_dir_for(sf_dir, root)
-    path = os.path.join(out_dir, "golden_thumbnails_v2.parquet")
+    path = os.path.join(out_dir, "golden_thumbnails_v3.parquet")
     if os.path.exists(path):
         return path
     t = pq.read_table(images_path)
@@ -835,7 +888,7 @@ def ensure_golden_thumbnails(
             "thumb_len": pa.array(lens, type=pa.int64()),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path
 
 
@@ -861,7 +914,7 @@ def ensure_golden_image_near_dups(
 
     images_path = ensure_images(sf_dir, root)
     out_dir = fixtures_dir_for(sf_dir, root)
-    path = os.path.join(out_dir, "golden_image_near_dups_v2.parquet")
+    path = os.path.join(out_dir, "golden_image_near_dups_v3.parquet")
     if os.path.exists(path):
         return path
     t = pq.read_table(images_path, columns=["img_id", "bytes"])
@@ -897,7 +950,7 @@ def ensure_golden_image_near_dups(
             "cosine": pa.array([r["cosine"] for r in rows], type=pa.float64()),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path
 
 
@@ -1015,7 +1068,7 @@ def ensure_golden_ivfpq_topk(
             "rank": pa.array([r["rank"] for r in rows], type=pa.int32()),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path
 
 
@@ -1073,7 +1126,7 @@ def ensure_audio_dupes(
         if writer is not None:
             writer.close()
         return path
-    pq.write_table(
+    _write_table_atomic(
         _audio_dupe_block((0, n)), path, compression="zstd", row_group_size=256
     )
     return path
@@ -1198,7 +1251,7 @@ def ensure_golden_audio_near_dups(
             "ber": pa.array([r["ber"] for r in rows], type=pa.float64()),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path
 
 
@@ -1246,7 +1299,7 @@ def ensure_golden_resample(
             "pcm16_md5": pa.array(md5s),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path
 
 
@@ -1287,7 +1340,7 @@ def ensure_golden_mel(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
             "mel_mean": pa.array(vecs, type=pa.list_(pa.float64())),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path
 
 
@@ -1327,7 +1380,7 @@ def ensure_golden_mfcc(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
             "mfcc_mean": pa.array(vecs, type=pa.list_(pa.float64())),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path
 
 
@@ -1402,7 +1455,7 @@ def ensure_golden_segments(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> st
             "seg_md5": pa.array(md5s),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path
 
 
@@ -1443,7 +1496,7 @@ def ensure_golden_pitch(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
             "pitch_stats": pa.array(vecs, type=pa.list_(pa.float64())),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path
 
 
@@ -1507,7 +1560,7 @@ def ensure_fp_queries(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
             "ts": pa.array(tss, type=pa.timestamp("us")),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path
 
 
@@ -1573,7 +1626,7 @@ def ensure_golden_fp_match(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> st
             "votes": pa.array(votes_out, type=pa.int64()),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path
 
 
@@ -1621,7 +1674,7 @@ def ensure_golden_augment(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str
             "aug_md5": pa.array(md5s),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path
 
 
@@ -1669,7 +1722,7 @@ def ensure_golden_speed(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
             "aug_md5": pa.array(md5s),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path
 
 
@@ -1724,7 +1777,7 @@ def ensure_golden_specaugment(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) ->
     }
     for m in range(16):
         cols[f"m{m:02d}"] = pa.array(mels[m], type=pa.float64())
-    pq.write_table(pa.Table.from_pydict(cols), path, compression="zstd")
+    _write_table_atomic(pa.Table.from_pydict(cols), path, compression="zstd")
     return path
 
 
@@ -1766,7 +1819,7 @@ def ensure_golden_loudnorm(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> st
             "norm_md5": pa.array(md5s),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path
 
 
@@ -1810,5 +1863,5 @@ def ensure_golden_reverb(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
             "rev_md5": pa.array(md5s),
         }
     )
-    pq.write_table(tbl, path, compression="zstd")
+    _write_table_atomic(tbl, path, compression="zstd")
     return path

@@ -487,8 +487,589 @@ def decode_png_image(buf: bytes) -> np.ndarray:
     return arr
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81): encoder for fixture generation + a per-pixel
+# loop decoder mirroring functions/imaging.decode_jpeg's documented integer
+# contract (2^14 fixed-point IDCT basis, (S + 2^27) >> 28 descale,
+# replication upsample, 2^16 fixed-point YCbCr->RGB). Integer sums are
+# exact in any order, so this scalar mirror and the engine's batched
+# einsum agree bit for bit — the same md5-golden contract the audio
+# kernels use. The engine NEVER touches these bytes at generation time.
+# ---------------------------------------------------------------------------
+
+_JPEG_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+
+def _jpeg_zigzag() -> list[int]:
+    """Zigzag scan order derived from the diagonal-walk rule (T.81 Fig. 5):
+    diagonals u+v = d for d = 0..14; even d walks up-right (row
+    decreasing), odd d walks down-left. The engine hardcodes the table;
+    deriving it here is the second implementation."""
+    order = []
+    for d in range(15):
+        rng = range(max(0, d - 7), min(7, d) + 1)  # row index v
+        rows = reversed(rng) if d % 2 == 0 else rng
+        order.extend(v * 8 + (d - v) for v in rows)
+    return order
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+# Annex K typical Huffman tables: (BITS[1..16], HUFFVAL). Embedded in DHT
+# and read back by every decoder, so the pipeline only requires them to be
+# VALID prefix codes covering all symbols — test_round5 asserts both
+# properties (Kraft sum via the Annex C builder + full (run,size) symbol
+# coverage).
+_JPEG_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Annex C canonical code assignment: value -> (code, length). Raises
+    if the BITS vector overflows the code space (invalid table)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("independent jpeg: BITS overflows code space")
+            out[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    if k != len(vals):
+        raise ValueError("independent jpeg: BITS/HUFFVAL length mismatch")
+    return out
+
+
+def _jpeg_quality_scale(base: list[int], quality: int) -> list[int]:
+    """IJG quality scaling: scale = 5000/q below 50 else 200 - 2q; each
+    entry (base*scale + 50) // 100, clamped to [1, 255]."""
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [min(255, max(1, (b * scale + 50) // 100)) for b in base]
+
+
+class _JpegWriter:
+    """MSB-first bit writer with 0xFF 0x00 stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nacc += 1
+            if self.nacc == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nacc = 0
+
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 F.1.2.3)."""
+        while self.nacc:
+            self.put(1, 1)
+
+
+def _jpeg_dct_block(block: np.ndarray) -> np.ndarray:
+    """Float64 orthonormal 2-D DCT-II of one level-shifted 8x8 block,
+    F[v][u] orientation (v = vertical frequency). Encoder-side only — the
+    decoder never mirrors this, so float math is fine here."""
+    x = np.arange(8).reshape(1, 8).astype(np.float64)
+    u = np.arange(8).reshape(8, 1).astype(np.float64)
+    a = 0.5 * np.cos((2.0 * x + 1.0) * u * np.pi / 16.0)
+    a[0, :] *= 1.0 / np.sqrt(2.0)
+    return a @ block @ a.T
+
+
+def _jpeg_mag_bits(v: int) -> tuple[int, int]:
+    """(size, raw bits) per T.81 F.1.2.1.2/F.1.4.1: negative values are
+    encoded as v + 2^size - 1 in `size` bits."""
+    size = 0
+    a = abs(v)
+    while a:
+        size += 1
+        a >>= 1
+    raw = v if v >= 0 else v + (1 << size) - 1
+    return size, raw
+
+
+def jpeg_bytes(
+    img: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    gray: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF JPEG from spec.
+
+    Markers SOI APP0 DQT SOF0 DHT SOS .. EOI, Annex K quant tables scaled
+    by the IJG quality rule, Annex K Huffman tables, 4:4:4 or 4:2:0
+    subsampling (chroma by 2x2 box mean), optional restart intervals,
+    or a single-component grayscale scan (channel 0). The encoder is
+    fixtures-only: lossy by design, exercised end to end through BOTH
+    decoders, which must agree bit-exactly on its output."""
+    import struct as _s
+
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("independent jpeg: empty image")
+    # Annex K tables above are written in natural (row-major) order; DQT
+    # payloads and the in-scan quantize loop both index by zigzag POSITION,
+    # so reorder first, then apply the quality scale.
+    qy = _jpeg_quality_scale([_JPEG_QT_LUMA[_JPEG_ZZ[k]] for k in range(64)], quality)
+    qc = _jpeg_quality_scale([_JPEG_QT_CHROMA[_JPEG_ZZ[k]] for k in range(64)], quality)
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    ycc = [
+        np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255),
+        np.clip(np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0, 255),
+        np.clip(np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0, 255),
+    ]
+
+    if gray:
+        comps = [(1, 1, 1, 0)]
+        planes = {1: ycc[0]}
+    elif subsampling == "420":
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        # pad to even, then 2x2 box mean for chroma
+        he, we = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        planes = {1: ycc[0]}
+        for cid, ch in ((2, ycc[1]), (3, ycc[2])):
+            p = np.zeros((he, we))
+            p[:h, :w] = ch
+            if he > h:
+                p[h:, :w] = ch[h - 1 :, :]
+            if we > w:
+                p[:, w:] = p[:, w - 1 : w]
+            planes[cid] = np.round(
+                (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            )
+    elif subsampling == "444":
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        planes = {1: ycc[0], 2: ycc[1], 3: ycc[2]}
+    else:
+        raise ValueError(f"independent jpeg: subsampling {subsampling}")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # pad every plane to its own MCU-covered size by edge replication
+    padded = {}
+    for cid, hs, vs, _tq in comps:
+        p = planes[cid]
+        ph, pw = mcuy * vs * 8, mcux * hs * 8
+        out = np.zeros((ph, pw))
+        sh, sw = p.shape
+        out[:sh, :sw] = p
+        if ph > sh:
+            out[sh:, :sw] = p[sh - 1 : sh, :]
+        if pw > sw:
+            out[:, sw:] = out[:, sw - 1 : sw]
+        padded[cid] = out
+
+    qts = {0: qy, 1: qc}
+    dc_codes = {
+        0: _jpeg_codes(*_JPEG_HUFF_DC_LUMA),
+        1: _jpeg_codes(*_JPEG_HUFF_DC_CHROMA),
+    }
+    ac_codes = {
+        0: _jpeg_codes(*_JPEG_HUFF_AC_LUMA),
+        1: _jpeg_codes(*_JPEG_HUFF_AC_CHROMA),
+    }
+
+    wtr = _JpegWriter()
+    pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.align()
+                wtr.out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                pred = {cid: 0 for cid, *_ in comps}
+            for cid, hs, vs, tq in comps:
+                q = qts[tq]
+                tbl_id = 0 if tq == 0 else 1
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = padded[cid][
+                            (my * vs + by) * 8 : (my * vs + by) * 8 + 8,
+                            (mx * hs + bx) * 8 : (mx * hs + bx) * 8 + 8,
+                        ]
+                        f = _jpeg_dct_block(blk - 128.0)
+                        zz = [
+                            int(np.round(f.reshape(64)[_JPEG_ZZ[k]] / q[k]))
+                            for k in range(64)
+                        ]
+                        diff = zz[0] - pred[cid]
+                        pred[cid] = zz[0]
+                        size, raw = _jpeg_mag_bits(diff)
+                        code, ln = dc_codes[tbl_id][size]
+                        wtr.put(code, ln)
+                        if size:
+                            wtr.put(raw, size)
+                        run = 0
+                        last_nz = max(
+                            (k for k in range(1, 64) if zz[k]), default=0
+                        )
+                        for k in range(1, last_nz + 1):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_codes[tbl_id][0xF0]  # ZRL
+                                wtr.put(code, ln)
+                                run -= 16
+                            size, raw = _jpeg_mag_bits(zz[k])
+                            if size > 10:
+                                raise ValueError(
+                                    "independent jpeg: AC coefficient too large"
+                                )
+                            code, ln = ac_codes[tbl_id][(run << 4) | size]
+                            wtr.put(code, ln)
+                            wtr.put(raw, size)
+                            run = 0
+                        if last_nz < 63:
+                            code, ln = ac_codes[tbl_id][0x00]  # EOB
+                            wtr.put(code, ln)
+            mcu_count += 1
+    wtr.align()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + _s.pack(">H", len(payload) + 2) + payload
+
+    head = bytearray(b"\xff\xd8")  # SOI
+    head += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    head += seg(0xDB, bytes([0x00]) + bytes(qy[_i] for _i in range(64)))
+    if not gray:
+        head += seg(0xDB, bytes([0x01]) + bytes(qc[_i] for _i in range(64)))
+    sof = bytearray(_s.pack(">BHHB", 8, h, w, len(comps)))
+    for cid, hs, vs, tq in comps:
+        sof += bytes((cid, (hs << 4) | vs, tq))
+    head += seg(0xC0, bytes(sof))
+    for (tc, th), (bits16, vals) in (
+        ((0, 0), _JPEG_HUFF_DC_LUMA),
+        ((1, 0), _JPEG_HUFF_AC_LUMA),
+        ((0, 1), _JPEG_HUFF_DC_CHROMA),
+        ((1, 1), _JPEG_HUFF_AC_CHROMA),
+    ):
+        if gray and th == 1:
+            continue
+        head += seg(
+            0xC4, bytes([(tc << 4) | th]) + bytes(bits16) + bytes(vals)
+        )
+    if restart_interval:
+        head += seg(0xDD, _s.pack(">H", restart_interval))
+    sos = bytearray([len(comps)])
+    for cid, _hs, _vs, tq in comps:
+        t = 0 if tq == 0 else 1
+        sos += bytes((cid, (t << 4) | t))
+    sos += bytes((0, 63, 0))  # Ss, Se, AhAl (baseline fixed)
+    head += seg(0xDA, bytes(sos))
+    return bytes(head) + bytes(wtr.out) + b"\xff\xd9"  # EOI
+
+
+def decode_jpeg_image(buf: bytes) -> np.ndarray:
+    """Baseline JPEG decode, second implementation: scalar bit reader over
+    python ints, per-coefficient Huffman walk against a (length, code)
+    list, per-block triple-loop integer IDCT, per-pixel integer color
+    convert — every constant from the documented contract shared with
+    functions/imaging.decode_jpeg (which vectorizes the same integer
+    math)."""
+    import math
+    import struct as _s
+
+    if buf[:3] != b"\xff\xd8\xff":
+        raise ValueError("independent jpeg: bad signature")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while True:
+        if pos + 4 > len(buf):
+            raise ValueError("independent jpeg: truncated before SOS")
+        marker = buf[pos + 1]
+        ln = _s.unpack_from(">H", buf, pos + 2)[0]
+        seg = buf[pos + 4 : pos + 2 + ln]
+        if len(seg) != ln - 2:
+            raise ValueError("independent jpeg: truncated segment")
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                if seg[p] >> 4:
+                    raise ValueError("independent jpeg: 16-bit quant table")
+                qt[seg[p] & 15] = list(seg[p + 1 : p + 65])
+                if len(qt[seg[p] & 15]) != 64:
+                    raise ValueError("independent jpeg: truncated DQT")
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p + 17 <= len(seg):
+                tc_th = seg[p]
+                bits16 = list(seg[p + 1 : p + 17])
+                nv = sum(bits16)
+                vals = seg[p + 17 : p + 17 + nv]
+                entries = []
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(bits16[length - 1]):
+                        entries.append((length, code, vals[k]))
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc_th >> 4, tc_th & 15)] = entries
+                p += 17 + nv
+        elif marker == 0xC0:
+            h, w = _s.unpack_from(">HH", seg, 1)
+            comps = []
+            for c in range(seg[5]):
+                comps.append(
+                    (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 15, seg[8 + 3 * c])
+                )
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("independent jpeg: not baseline")
+        elif marker == 0xDD:
+            restart_interval = _s.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:
+            scan = {}
+            for c in range(seg[0]):
+                scan[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+            pos += 2 + ln
+            break
+        pos += 2 + ln
+    if frame is None:
+        raise ValueError("independent jpeg: no SOF0")
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # IDCT basis, same documented constants, derived with math.cos here
+    bi = [[0] * 8 for _ in range(8)]
+    for u in range(8):
+        for x in range(8):
+            v = 0.5 * math.cos((2 * x + 1) * u * math.pi / 16.0)
+            if u == 0:
+                v /= math.sqrt(2.0)
+            bi[u][x] = round(v * 16384.0)
+
+    # scalar bit reader state
+    state = {"pos": pos, "acc": 0, "n": 0}
+
+    def read_bit() -> int:
+        if state["n"] == 0:
+            p = state["pos"]
+            if p >= len(buf):
+                raise ValueError("independent jpeg: truncated entropy data")
+            byte = buf[p]
+            if byte == 0xFF:
+                if p + 1 < len(buf) and buf[p + 1] == 0x00:
+                    state["pos"] = p + 2
+                else:
+                    raise ValueError("independent jpeg: scan ended mid-block")
+            else:
+                state["pos"] = p + 1
+            state["acc"] = byte
+            state["n"] = 8
+        state["n"] -= 1
+        return (state["acc"] >> state["n"]) & 1
+
+    def decode_sym(entries) -> int:
+        length = 0
+        code = 0
+        i = 0
+        while length < 16:
+            code = (code << 1) | read_bit()
+            length += 1
+            while i < len(entries) and entries[i][0] < length:
+                i += 1
+            j = i
+            while j < len(entries) and entries[j][0] == length:
+                if entries[j][1] == code:
+                    return entries[j][2]
+                j += 1
+        raise ValueError("independent jpeg: bad Huffman code")
+
+    def receive_extend(size: int) -> int:
+        if size == 0:
+            return 0
+        v = 0
+        for _ in range(size):
+            v = (v << 1) | read_bit()
+        if v < (1 << (size - 1)):
+            v -= (1 << size) - 1
+        return v
+
+    planes = {
+        cid: [[0] * (mcux * hs * 8) for _ in range(mcuy * vs * 8)]
+        for cid, hs, vs, _ in comps
+    }
+    pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # byte-align and consume RSTn
+                state["n"] = 0
+                p = state["pos"]
+                if p + 1 >= len(buf) or buf[p] != 0xFF or not (0xD0 <= buf[p + 1] <= 0xD7):
+                    raise ValueError("independent jpeg: missing RSTn")
+                state["pos"] = p + 2
+                pred = {cid: 0 for cid, *_ in comps}
+            for cid, hs, vs, tq in comps:
+                dc_t, ac_t = scan[cid]
+                q = qt[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = [0] * 64
+                        s = decode_sym(huff[(0, dc_t)])
+                        pred[cid] += receive_extend(s)
+                        coef[0] = pred[cid] * q[0]
+                        k = 0
+                        while k < 63:
+                            rs = decode_sym(huff[(1, ac_t)])
+                            rr, ss = rs >> 4, rs & 15
+                            if ss == 0:
+                                if rr == 15:
+                                    k += 16
+                                    continue
+                                break
+                            k += rr + 1
+                            if k > 63:
+                                raise ValueError("independent jpeg: overrun")
+                            coef[_JPEG_ZZ[k]] = receive_extend(ss) * q[k]
+                        # scalar integer IDCT, same fixed-point contract
+                        plane = planes[cid]
+                        for y in range(8):
+                            for x in range(8):
+                                acc = 0
+                                for vv in range(8):
+                                    for uu in range(8):
+                                        acc += (
+                                            coef[vv * 8 + uu]
+                                            * bi[uu][x]
+                                            * bi[vv][y]
+                                        )
+                                px = ((acc + (1 << 27)) >> 28) + 128
+                                px = 0 if px < 0 else (255 if px > 255 else px)
+                                plane[(my * vs + by) * 8 + y][
+                                    (mx * hs + bx) * 8 + x
+                                ] = px
+            mcu_count += 1
+
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    if len(comps) == 1:
+        plane = planes[comps[0][0]]
+        for y in range(h):
+            for x in range(w):
+                out[y, x] = plane[y][x]
+        return out
+    (y_id, y_hs, y_vs, _), (cb_id, cb_hs, cb_vs, _), (cr_id, cr_hs, cr_vs, _) = comps
+    for yy in range(h):
+        for xx in range(w):
+            lum = planes[y_id][(yy * y_vs) // vmax][(xx * y_hs) // hmax]
+            cb = planes[cb_id][(yy * cb_vs) // vmax][(xx * cb_hs) // hmax] - 128
+            cr = planes[cr_id][(yy * cr_vs) // vmax][(xx * cr_hs) // hmax] - 128
+            rr = lum + ((91881 * cr + 32768) >> 16)
+            gg = lum - ((22554 * cb + 46802 * cr + 32768) >> 16)
+            bb = lum + ((116130 * cb + 32768) >> 16)
+            out[yy, xx, 0] = 0 if rr < 0 else (255 if rr > 255 else rr)
+            out[yy, xx, 1] = 0 if gg < 0 else (255 if gg > 255 else gg)
+            out[yy, xx, 2] = 0 if bb < 0 else (255 if bb > 255 else bb)
+    return out
+
+
 def decode_any_image(buf: bytes) -> np.ndarray:
-    """Magic-dispatched independent decode (PPM/PGM/BMP/PNG)."""
+    """Magic-dispatched independent decode (PPM/PGM/BMP/PNG/JPEG)."""
     if buf[:2] == b"P6":
         return decode_ppm_image(buf)
     if buf[:2] == b"P5":
@@ -497,6 +1078,8 @@ def decode_any_image(buf: bytes) -> np.ndarray:
         return decode_bmp_image(buf)
     if buf[:4] == _PNG_SIG[:4]:
         return decode_png_image(buf)
+    if buf[:3] == b"\xff\xd8\xff":
+        return decode_jpeg_image(buf)
     raise ValueError(f"independent: unsupported container {buf[:4]!r}")
 
 

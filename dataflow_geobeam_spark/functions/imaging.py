@@ -8,8 +8,10 @@ decode kernel was PIL-gated, and PIL is absent from this container. PPM
 (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, 4-byte row padding)
 are simple enough to implement from their published specs — the same
 stand-in strategy the audio side uses for its containers
-(fixtures/independent.py). PNG/JPEG stay PIL-gated in
-functions/multimodal.py.
+(fixtures/independent.py). PNG joined in round 5 (IHDR/IDAT + the five
+scanline filters over stdlib zlib) and baseline JPEG closes the set
+(markers + Huffman + integer IDCT, see the JPEG section); only video
+remains gated in functions/multimodal.py.
 
 Reference precedent: geobeam decodes real raster formats via rasterio
 (``/root/reference/geobeam/io.py:124-127``); here the format parsing is
@@ -307,6 +309,320 @@ def decode_png(buf: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# JPEG (baseline DCT, ITU-T T.81): marker segments -> DQT/DHT/SOF0/SOS ->
+# Huffman-coded interleaved MCUs -> dequantize -> integer IDCT -> upsample ->
+# integer YCbCr->RGB. Round 5: the last PIL-gated still-image format, now
+# from spec like PPM/BMP/PNG. Quant + Huffman tables are always read from
+# the file's own DQT/DHT segments (the spec requires them in-stream), so
+# this decodes any baseline JPEG, not just this repo's encoder output.
+#
+# Bit-exactness contract with fixtures/independent.decode_jpeg_image (the
+# per-pixel-loop mirror that writes the goldens): every arithmetic step is
+# INTEGER — dequantized int32 coefficients; IDCT as an int64 sum over a
+# 2^14-scaled cosine basis, descaled by one (S + 2^27) >> 28; replication
+# chroma upsampling via integer index math; YCbCr->RGB with 2^16-scaled
+# integer constants and one (v + 32768) >> 16 per term. Integer adds are
+# exact and order-free, so the engine's batched einsum and the mirror's
+# triple loops produce identical bytes by construction — the same contract
+# that makes the audio md5 goldens bit-exact.
+# ---------------------------------------------------------------------------
+
+JPEG_SIG = b"\xff\xd8\xff"
+
+# zigzag position k -> natural index (v*8 + u); T.81 Figure 5
+JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _jpeg_idct_basis() -> np.ndarray:
+    """B[u][x] = round((C(u)/2) * cos((2x+1)u*pi/16) * 2^14) as int64,
+    C(0)=1/sqrt(2) else 1 — the T.81 A.3.3 IDCT basis in 14-bit fixed
+    point. spatial[y][x] = sum_{u,v} coef[v][u] * B[u][x] * B[v][y],
+    descaled by (S + 2^27) >> 28, then +128 level shift."""
+    u = np.arange(8).reshape(8, 1).astype(np.float64)
+    x = np.arange(8).reshape(1, 8).astype(np.float64)
+    b = 0.5 * np.cos((2.0 * x + 1.0) * u * np.pi / 16.0)
+    b[0, :] *= 1.0 / np.sqrt(2.0)
+    return np.round(b * 16384.0).astype(np.int64)
+
+
+_JPEG_B = _jpeg_idct_basis()
+
+# YCbCr -> RGB, 2^16-scaled integer constants (JFIF / CCIR 601 full-range:
+# R = Y + 1.402 Cr', G = Y - 0.344136 Cb' - 0.714136 Cr', B = Y + 1.772 Cb')
+_JC_R_CR = 91881  # round(1.402 * 65536)
+_JC_G_CB = 22554  # round(0.344136 * 65536)
+_JC_G_CR = 46802  # round(0.714136 * 65536)
+_JC_B_CB = 116130  # round(1.772 * 65536)
+
+
+class _JpegBits:
+    """MSB-first entropy-segment bit reader with T.81 F.1.2.3 byte
+    stuffing: 0xFF 0x00 is a literal 0xFF; 0xFF Dn (RSTn) is consumed by
+    restart(); any other 0xFF marker ends the scan (running dry mid-block
+    raises, which is how truncated payloads surface as invalid rows)."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            raise ImageDecodeError("jpeg: truncated entropy segment")
+        byte = self.buf[self.pos]
+        if byte == 0xFF:
+            nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:  # a real marker: scan data is over
+                raise ImageDecodeError("jpeg: entropy segment ended mid-block")
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume one RSTn marker (T.81 F.2.1.3.3)."""
+        self.nbits = 0
+        self.bitbuf = 0
+        if self.pos + 1 >= len(self.buf) or self.buf[self.pos] != 0xFF:
+            raise ImageDecodeError("jpeg: expected restart marker")
+        m = self.buf[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ImageDecodeError(f"jpeg: expected RSTn, got ff{m:02x}")
+        self.pos += 2
+
+
+def _jpeg_huff_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """(code_length, code) -> value map per T.81 Annex C code assignment:
+    codes of each length are consecutive, starting from twice the previous
+    length's end."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise ImageDecodeError("jpeg: malformed DHT")
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_decode_sym(bits: _JpegBits, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.read_bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ImageDecodeError("jpeg: invalid Huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a `size`-bit magnitude to its signed
+    value."""
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline JPEG -> (height, width, 3) uint8 RGB.
+
+    Supports 8-bit baseline DCT (SOF0), 1 or 3 components, sampling
+    factors 1-2 (so 4:4:4, 4:2:2, 4:2:0 and grayscale all decode),
+    restart intervals, and in-stream quant/Huffman tables. Progressive
+    (SOF2) and arithmetic coding are rejected explicitly. The Huffman
+    walk is sequential by nature; the FLOP-heavy IDCT runs as ONE batched
+    int64 einsum over all blocks of a component — vectorized where the
+    work is, exact everywhere (see module comment)."""
+    if buf[: len(JPEG_SIG)] != JPEG_SIG:
+        raise ImageDecodeError("jpeg: bad signature")
+    qt: dict[int, np.ndarray] = {}  # id -> 64 int32, zigzag order
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> code map
+    frame = None  # (h, w, [(comp_id, hs, vs, tq)])
+    restart_interval = 0
+    pos = 2
+    n = len(buf)
+    while True:
+        if pos + 4 > n:
+            raise ImageDecodeError("jpeg: truncated before SOS")
+        if buf[pos] != 0xFF:
+            raise ImageDecodeError("jpeg: expected marker")
+        marker = buf[pos + 1]
+        seg_len = struct.unpack_from(">H", buf, pos + 2)[0]
+        seg = buf[pos + 4 : pos + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ImageDecodeError("jpeg: truncated segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq_prec, tq_id = seg[p] >> 4, seg[p] & 15
+                if pq_prec != 0:
+                    raise ImageDecodeError("jpeg: only 8-bit quant tables")
+                if p + 65 > len(seg):
+                    raise ImageDecodeError("jpeg: truncated DQT")
+                qt[tq_id] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(
+                    np.int32
+                )
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits16 = list(seg[p + 1 : p + 17])
+                nv = sum(bits16)
+                vals = seg[p + 17 : p + 17 + nv]
+                if len(vals) != nv:
+                    raise ImageDecodeError("jpeg: truncated DHT")
+                huff[(tc, th)] = _jpeg_huff_table(bits16, vals)
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                raise ImageDecodeError("jpeg: only 8-bit precision")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise ImageDecodeError("jpeg: only 1 or 3 components")
+            comps = []
+            for c in range(ncomp):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * c]))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ImageDecodeError("jpeg: only baseline SOF0 is supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ImageDecodeError("jpeg: SOS before SOF0")
+            ns = seg[0]
+            scan_tables = {}
+            for c in range(ns):
+                cs, tda = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tables[cs] = (tda >> 4, tda & 15)
+            pos = pos + 2 + seg_len
+            break
+        # APPn / COM / anything else: skip
+        pos = pos + 2 + seg_len
+
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ImageDecodeError("jpeg: zero dimension")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+        raise ImageDecodeError("jpeg: sampling factors above 2 unsupported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    bits = _JpegBits(buf, pos)
+    pred = {cid: 0 for cid, _, _, _ in comps}
+    # per component: flat list of int32[64] blocks in MCU emission order,
+    # plus that order's (block_row, block_col) so planes assemble after the
+    # batched IDCT
+    blocks: dict[int, list[np.ndarray]] = {cid: [] for cid, _, _, _ in comps}
+    coords: dict[int, list[tuple[int, int]]] = {cid: [] for cid, _, _, _ in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bits.restart()
+                pred = {cid: 0 for cid, _, _, _ in comps}
+            for cid, hs, vs, tq_id in comps:
+                dc_t, ac_t = scan_tables[cid]
+                try:
+                    dc_table = huff[(0, dc_t)]
+                    ac_table = huff[(1, ac_t)]
+                    q = qt[tq_id]
+                except KeyError as exc:
+                    raise ImageDecodeError("jpeg: missing table for scan") from exc
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = np.zeros(64, dtype=np.int32)
+                        s = _jpeg_decode_sym(bits, dc_table)
+                        diff = _jpeg_extend(bits.receive(s), s)
+                        pred[cid] += diff
+                        coef[0] = pred[cid] * q[0]
+                        k = 0
+                        while k < 63:
+                            rs = _jpeg_decode_sym(bits, ac_table)
+                            r, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if r == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r + 1
+                            if k > 63:
+                                raise ImageDecodeError("jpeg: coefficient overrun")
+                            val = _jpeg_extend(bits.receive(size), size)
+                            coef[JPEG_ZIGZAG[k]] = val * q[k]
+                        blocks[cid].append(coef)
+                        coords[cid].append((my * vs + by, mx * hs + bx))
+            mcu_count += 1
+
+    # batched integer IDCT per component, then assemble the padded plane
+    planes: dict[int, np.ndarray] = {}
+    for cid, hs, vs, _ in comps:
+        nb = len(blocks[cid])
+        fmat = np.stack(blocks[cid]).astype(np.int64).reshape(nb, 8, 8)  # [v][u]
+        s = np.einsum("vy,nvu,ux->nyx", _JPEG_B, fmat, _JPEG_B)
+        px = ((s + (1 << 27)) >> 28) + 128
+        px = np.clip(px, 0, 255).astype(np.uint8)
+        plane = np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.uint8)
+        for blk, (br, bc) in zip(px, coords[cid]):
+            plane[br * 8 : br * 8 + 8, bc * 8 : bc * 8 + 8] = blk
+        planes[cid] = plane
+
+    ys = np.arange(h, dtype=np.int64)
+    xs = np.arange(w, dtype=np.int64)
+    if len(comps) == 1:
+        cid = comps[0][0]
+        g = planes[cid][:h, :w]
+        return np.repeat(g[:, :, None], 3, axis=2)
+    full = []
+    for cid, hs, vs, _ in comps:
+        # replication upsample: source sample at (x*hs//hmax, y*vs//vmax)
+        full.append(planes[cid][(ys * vs) // vmax][:, (xs * hs) // hmax])
+    y, cb, cr = (p.astype(np.int64) for p in full)
+    cb = cb - 128
+    cr = cr - 128
+    r = y + ((_JC_R_CR * cr + 32768) >> 16)
+    g = y - ((_JC_G_CB * cb + _JC_G_CR * cr + 32768) >> 16)
+    b = y + ((_JC_B_CB * cb + 32768) >> 16)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resample to (height, width, 3) — pixel-center
     mapping ``src = floor((dst + 0.5) * src_size / dst_size)``, the
@@ -320,10 +636,10 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Dispatch on magic bytes to a pure-Python decoder. PPM, PGM, BMP and
-    PNG (round 5) are decoded here from spec; other containers raise
-    (callers fall back to the PIL gate / deterministic fake in
-    functions/multimodal.py)."""
+    """Dispatch on magic bytes to a pure-Python decoder. PPM, PGM, BMP,
+    PNG and baseline JPEG (round 5) are decoded here from spec; other
+    containers raise (callers fall back to the PIL gate / deterministic
+    fake in functions/multimodal.py)."""
     if buf[:2] == b"P6":
         return decode_ppm(buf)
     if buf[:2] == b"P5":
@@ -332,6 +648,8 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_bmp(buf)
     if buf[: len(PNG_SIG)] == PNG_SIG or buf[:4] == PNG_SIG[:4]:
         return decode_png(buf)
+    if buf[: len(JPEG_SIG)] == JPEG_SIG:
+        return decode_jpeg(buf)
     raise ImageDecodeError(f"unsupported container (magic {buf[:4]!r})")
 
 

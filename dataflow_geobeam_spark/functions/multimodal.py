@@ -158,13 +158,13 @@ def with_thumbnails(
     Kernel dispatch (round-4 VERDICT #5 — one multimodal kernel is now
     REAL, no imaging lib needed):
 
-    * PPM ("P6") / PGM ("P5") / BMP ("BM") / PNG (round 5) payloads:
-      from-spec decode -> nearest-neighbor resize -> P6 PPM re-encode
-      (functions/imaging.py). A malformed payload yields a NULL thumbnail
-      — decode-failure => invalid row, the same F1/make_valid semantics
-      the audio decode path uses.
-    * other containers: PIL resize when installed (PNG/JPEG/...), else the
-      deterministic content-hash fake — the plumbing (batching, null
+    * PPM ("P6") / PGM ("P5") / BMP ("BM") / PNG / baseline JPEG (both
+      round 5) payloads: from-spec decode -> nearest-neighbor resize ->
+      P6 PPM re-encode (functions/imaging.py). A malformed payload yields
+      a NULL thumbnail — decode-failure => invalid row, the same
+      F1/make_valid semantics the audio decode path uses.
+    * other containers (gif/webm/...): PIL resize when installed, else
+      the deterministic content-hash fake — the plumbing (batching, null
       propagation, schema) is identical either way.
     """
     from pyspark.sql.types import BinaryType
@@ -177,7 +177,11 @@ def with_thumbnails(
     keep_names = [f.name for f in keep]
 
     def _kernel(b: bytes) -> bytes | None:
-        if b[:2] in (b"P6", b"P5", b"BM") or b[:4] == b"\x89PNG":
+        if (
+            b[:2] in (b"P6", b"P5", b"BM")
+            or b[:4] == b"\x89PNG"
+            or b[:3] == b"\xff\xd8\xff"
+        ):
             try:
                 return thumbnail_ppm(b, width, height)
             except ImageDecodeError:
