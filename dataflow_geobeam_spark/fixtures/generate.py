@@ -732,8 +732,11 @@ IMG_ROWS_PER_SF = 6400  # sf0.01 -> 64, sf0.1 -> 640
 THUMB_W, THUMB_H = 16, 12
 
 
-_IMG_FMTS = ("ppm", "bmp", "pgm", "png", "jpeg")
+_IMG_FMTS = ("ppm", "bmp", "pgm", "png", "jpeg", "gif")
 _PNG_CTS = (2, 6, 0)  # RGB, RGBA(opaque), grayscale — all lossless round-trips
+# GIF is indexed color: its fixture images draw pixels from this fixed
+# 64-color palette so the (lossless) encode always fits one color table.
+_GIF_PAL = np.random.default_rng([42, 555_000]).integers(0, 256, (64, 3), dtype=np.uint8)
 # (subsampling, gray, restart_interval): exercises 4:4:4, 4:2:0,
 # single-component grayscale, and DRI/RSTn restart handling in BOTH
 # decoders. JPEG is lossy — goldens always come from the independent
@@ -756,6 +759,7 @@ def _encode_image(
     fmt: str,
     png_ct: int = 2,
     jpg_var: tuple[str, bool, int] = _JPG_VARIANTS[0],
+    gif_interlace: bool = False,
 ) -> bytes:
     if fmt == "ppm":
         return independent.ppm_bytes(img)
@@ -768,6 +772,8 @@ def _encode_image(
         return independent.jpeg_bytes(
             img, subsampling=sub, gray=gray, restart_interval=rst
         )
+    if fmt == "gif":
+        return independent.gif_bytes(img, interlace=gif_interlace)
     return independent.pgm_bytes(img)
 
 
@@ -780,50 +786,71 @@ def ensure_images(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
     containers. PNGs cycle color types RGB / opaque-RGBA / grayscale and
     ALL five scanline filters, so every unfilter path decodes for real;
     JPEGs cycle 4:4:4 / 4:2:0 / grayscale / restart-interval variants so
-    every entropy + upsample path decodes for real. Grayscale rows keep
-    identical channels; JPEG rows are lossy by design — goldens always
-    derive from the independent decode of the stored bytes, never from
-    the pre-encode pixels. All encoded by the INDEPENDENT from-spec
-    writers in fixtures.independent (the engine's decoders in
-    functions/imaging.py never touch these bytes at generation time).
-    Planted content: every i%9==4 image is a near-duplicate of image i-1
-    (same pixels +-2 pre-encode, same dims, same container+variant) for
-    the image near-dup query. ~8% of payloads are truncated mid-raster:
-    decode-failure rows the engine must surface as NULL thumbnails / drop
-    from embeddings (F1/make_valid semantics).
+    every entropy + upsample path decodes for real; GIFs draw pixels from
+    a fixed 64-color palette (indexed color is the container's model) and
+    alternate interlaced / sequential so both row orders decode for real.
+    Grayscale rows keep identical channels; JPEG rows are lossy by design
+    — goldens always derive from the independent decode of the stored
+    bytes, never from the pre-encode pixels. All encoded by the
+    INDEPENDENT from-spec writers in fixtures.independent (the engine's
+    decoders in functions/imaging.py never touch these bytes at
+    generation time). Planted content: every i%9==4 image is a
+    near-duplicate of image i-1 (same dims, same container+variant;
+    pixels +-2 pre-encode, except GIF dups flip ~3% of pixels to other
+    palette colors — a +-2 perturbation would leave the 64-color table)
+    for the image near-dup query. ~8% of payloads are truncated
+    mid-raster: decode-failure rows the engine must surface as NULL
+    thumbnails / drop from embeddings (F1/make_valid semantics).
     """
     out_dir = fixtures_dir_for(sf_dir, root)
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, "images_v3.parquet")
+    path = os.path.join(out_dir, "images_v4.parquet")
     if os.path.exists(path):
         return path
     n = max(64, int(IMG_ROWS_PER_SF * sf_from_dir(sf_dir)))
     ids, bufs, fmts, ws, hs = [], [], [], [], []
     prev_img, prev_fmt, prev_ct = None, None, 2
     prev_jpgv = _JPG_VARIANTS[0]
+    prev_gif_inter = False
     for i in range(n):
         rng = np.random.default_rng([SEED, 9_000_000 + i])
         png_ct = _PNG_CTS[(i // 4) % 3]
         jpg_var = _JPG_VARIANTS[(i // 5) % 4]
+        gif_inter = ((i // 6) % 2) == 1
         if i % 9 == 4 and prev_img is not None:
-            # planted near-dup: same dims/container as i-1, pixels +-2
-            noise = rng.integers(-2, 3, prev_img.shape)
-            img = np.clip(prev_img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
-            fmt, png_ct, jpg_var = prev_fmt, prev_ct, prev_jpgv
-            if _is_gray_fmt(fmt, png_ct, jpg_var):
-                # keep channels identical for the grayscale containers
-                img = np.repeat(img[:, :, :1], 3, axis=2)
+            fmt, png_ct, jpg_var, gif_inter = prev_fmt, prev_ct, prev_jpgv, prev_gif_inter
+            if fmt == "gif":
+                # planted near-dup, palette-preserving: flip ~3% of pixels
+                img = prev_img.copy()
+                mask = rng.random(prev_img.shape[:2]) < 0.03
+                img[mask] = _GIF_PAL[rng.integers(0, 64, int(mask.sum()))]
+            else:
+                # planted near-dup: same dims/container as i-1, pixels +-2
+                noise = rng.integers(-2, 3, prev_img.shape)
+                img = np.clip(prev_img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+                if _is_gray_fmt(fmt, png_ct, jpg_var):
+                    # keep channels identical for the grayscale containers
+                    img = np.repeat(img[:, :, :1], 3, axis=2)
         else:
             w = 16 + int(rng.integers(0, 49))
             h = 12 + int(rng.integers(0, 37))
-            fmt = _IMG_FMTS[i % 5]
-            if _is_gray_fmt(fmt, png_ct, jpg_var):
+            if i % 9 == 3:
+                # pre-plant slot (i+1 will be its near-dup): walk formats
+                # explicitly — with a plain i%6 cycle, lcm(9,6)=18 means
+                # plants would only ever land on two of the six formats
+                fmt = _IMG_FMTS[(i // 9) % 6]
+            else:
+                fmt = _IMG_FMTS[i % 6]
+            if fmt == "gif":
+                img = _GIF_PAL[rng.integers(0, 64, (h, w))]
+            elif _is_gray_fmt(fmt, png_ct, jpg_var):
                 gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
                 img = np.repeat(gray[:, :, None], 3, axis=2)
             else:
                 img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-        buf = _encode_image(img, fmt, png_ct, jpg_var)
-        prev_img, prev_fmt, prev_ct, prev_jpgv = img, fmt, png_ct, jpg_var
+        buf = _encode_image(img, fmt, png_ct, jpg_var, gif_inter)
+        prev_img, prev_fmt, prev_ct = img, fmt, png_ct
+        prev_jpgv, prev_gif_inter = jpg_var, gif_inter
         if i % 13 == 5:  # truncate mid-raster; magic bytes survive
             buf = buf[: max(8, int(len(buf) * 0.6))]
         ids.append(f"img{i:06d}")
@@ -862,7 +889,7 @@ def ensure_golden_thumbnails(
 
     images_path = ensure_images(sf_dir, root)
     out_dir = fixtures_dir_for(sf_dir, root)
-    path = os.path.join(out_dir, "golden_thumbnails_v3.parquet")
+    path = os.path.join(out_dir, "golden_thumbnails_v4.parquet")
     if os.path.exists(path):
         return path
     t = pq.read_table(images_path)
@@ -914,7 +941,7 @@ def ensure_golden_image_near_dups(
 
     images_path = ensure_images(sf_dir, root)
     out_dir = fixtures_dir_for(sf_dir, root)
-    path = os.path.join(out_dir, "golden_image_near_dups_v3.parquet")
+    path = os.path.join(out_dir, "golden_image_near_dups_v4.parquet")
     if os.path.exists(path):
         return path
     t = pq.read_table(images_path, columns=["img_id", "bytes"])

@@ -1068,8 +1068,214 @@ def decode_jpeg_image(buf: bytes) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a): indexed-color LZW raster. The encoder builds an exact
+# palette (fixture images for this container are drawn from <=256 colors,
+# so the round-trip is LOSSLESS) and does real GIF LZW with dictionary
+# growth, 4096-entry resets and LSB-first variable-width packing; the
+# decoder below is the per-pixel/pure-python mirror of
+# functions/imaging.decode_gif.
+# ---------------------------------------------------------------------------
+
+
+def gif_bytes(img: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 with <= 256 distinct colors -> single-frame GIF89a
+    with a global color table, optionally interlaced."""
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if colors.shape[0] > 256:
+        raise ValueError("independent gif: more than 256 distinct colors")
+    # palette size = next power of two >= n (min 2); min code size >= 2
+    bits = 1
+    while (1 << bits) < colors.shape[0]:
+        bits += 1
+    n_pal = 1 << bits
+    mcs = max(2, bits)
+    pal = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal[: colors.shape[0]] = colors
+    idx = inverse.reshape(h, w)
+    if interlace:
+        order = []
+        for off, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order.extend(range(off, h, step))
+        idx = idx[order]
+    seq = idx.reshape(-1).tolist()
+
+    clear = 1 << mcs
+    end = clear + 1
+    out_bits: list[int] = []
+
+    def emit(code: int, width: int) -> None:
+        for i in range(width):  # LSB-first
+            out_bits.append((code >> i) & 1)
+
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = mcs + 1
+    emit(clear, width)
+    wseq: tuple[int, ...] = ()
+    for k in seq:
+        cand = wseq + (k,)
+        if cand in table:
+            wseq = cand
+            continue
+        emit(table[wseq], width)
+        table[cand] = next_code
+        next_code += 1
+        # the decoder's table lags ours by one entry (its add is deferred
+        # to the NEXT code), so it reaches length 1 << width exactly when
+        # our just-added code equals 1 << width — widen then, not before
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = mcs + 1
+        wseq = (k,)
+    if wseq:
+        emit(table[wseq], width)
+    emit(end, width)
+    data = bytearray()
+    for i in range(0, len(out_bits), 8):
+        byte = 0
+        for j, b in enumerate(out_bits[i : i + 8]):
+            byte |= b << j
+        data.append(byte)
+
+    out = bytearray(b"GIF89a")
+    out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    out.append(0x80 | (bits - 1))  # GCT present, size 2^(n+1)
+    out += b"\x00\x00"  # bg index, aspect
+    out += pal.tobytes()
+    out.append(0x2C)  # image descriptor
+    out += b"\x00\x00\x00\x00"
+    out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    out.append(0x40 if interlace else 0x00)
+    out.append(mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif_image(buf: bytes) -> np.ndarray:
+    """GIF decode, second implementation: scalar bit cursor, dict-of-list
+    LZW table, per-row interlace reorder, per-pixel palette lookup.
+    Truncated payloads surface as ValueError like every other independent
+    decoder (byte accesses past the end re-raise from IndexError)."""
+    try:
+        return _decode_gif_image(buf)
+    except IndexError as exc:
+        raise ValueError("independent gif: truncated payload") from exc
+
+
+def _decode_gif_image(buf: bytes) -> np.ndarray:
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("independent gif: bad signature")
+    packed = buf[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        palette = [tuple(buf[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    while True:
+        if pos >= len(buf):
+            raise ValueError("independent gif: no image block")
+        b0 = buf[pos]
+        pos += 1
+        if b0 == 0x21:
+            pos += 1
+            while buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"independent gif: block 0x{b0:02x}")
+        break
+    iw = buf[pos + 4] | (buf[pos + 5] << 8)
+    ih = buf[pos + 6] | (buf[pos + 7] << 8)
+    ipacked = buf[pos + 8]
+    pos += 9
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 7)
+        palette = [tuple(buf[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    if palette is None:
+        raise ValueError("independent gif: no palette")
+    mcs = buf[pos]
+    pos += 1
+    data = bytearray()
+    while True:
+        sz = buf[pos]
+        pos += 1
+        if sz == 0:
+            break
+        data += buf[pos : pos + sz]
+        pos += sz
+
+    clear = 1 << mcs
+    end = clear + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    width = mcs + 1
+    bitpos = 0
+    pixels: list[int] = []
+    prev: list[int] | None = None
+    while len(pixels) < iw * ih:
+        if bitpos + width > 8 * len(data):
+            raise ValueError("independent gif: truncated LZW")
+        code = 0
+        for i in range(width):
+            code |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("independent gif: bad code")
+        pixels.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(pixels) < iw * ih:
+        raise ValueError("independent gif: short raster")
+    pixels = pixels[: iw * ih]
+    rows = [pixels[r * iw : (r + 1) * iw] for r in range(ih)]
+    if ipacked & 0x40:
+        order = []
+        for off, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order.extend(range(off, ih, step))
+        deinter: list[list[int]] = [[]] * ih
+        for src_row, dst in enumerate(order):
+            deinter[dst] = rows[src_row]
+        rows = deinter
+    out = np.zeros((ih, iw, 3), dtype=np.uint8)
+    for y in range(ih):
+        for x in range(iw):
+            out[y, x] = palette[rows[y][x]]
+    return out
+
+
 def decode_any_image(buf: bytes) -> np.ndarray:
-    """Magic-dispatched independent decode (PPM/PGM/BMP/PNG/JPEG)."""
+    """Magic-dispatched independent decode (PPM/PGM/BMP/PNG/JPEG/GIF)."""
     if buf[:2] == b"P6":
         return decode_ppm_image(buf)
     if buf[:2] == b"P5":
@@ -1080,6 +1286,8 @@ def decode_any_image(buf: bytes) -> np.ndarray:
         return decode_png_image(buf)
     if buf[:3] == b"\xff\xd8\xff":
         return decode_jpeg_image(buf)
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_image(buf)
     raise ValueError(f"independent: unsupported container {buf[:4]!r}")
 
 

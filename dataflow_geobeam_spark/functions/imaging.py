@@ -623,6 +623,175 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     return np.clip(rgb, 0, 255).astype(np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a): logical screen descriptor + color table + LZW-compressed
+# indexed raster, optional interlace. With JPEG done this makes every still
+# image container in the sniffer registry decode from spec (gif was the last
+# fake-path still format; riff/flac/ogg/mp3/webm are audio/video). GIF is
+# lossless indexed color, so the engine and the independent mirror agree
+# bit for bit with no arithmetic contract needed — only the same spec.
+# ---------------------------------------------------------------------------
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+# interlace passes: (row offset, row step) per GIF89a appendix E
+GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
+    """GIF-flavor LZW: variable-width codes packed LSB-first, CLEAR and
+    END codes, dictionary capped at 4096 entries. Returns exactly
+    n_pixels palette indices (uint8); anything short raises."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    # bit cursor over the concatenated sub-block payload
+    bitpos = 0
+    total_bits = 8 * len(data)
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            raise ImageDecodeError("gif: truncated LZW stream")
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    def reset_dict() -> tuple[list[bytes], int]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""], min_code_size + 1
+
+    table, width = reset_dict()
+    prev: bytes | None = None
+    while True:
+        code = read_code(width)
+        if code == clear:
+            table, width = reset_dict()
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ImageDecodeError("gif: first code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ImageDecodeError("gif: LZW code out of range")
+        if n_out + len(entry) > n_pixels:
+            raise ImageDecodeError("gif: LZW output overruns raster")
+        out[n_out : n_out + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
+        n_out += len(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if n_out == n_pixels:
+            break
+    if n_out != n_pixels:
+        raise ImageDecodeError("gif: LZW stream ended short of the raster")
+    return out
+
+
+def decode_gif(buf: bytes) -> np.ndarray:
+    """GIF -> (height, width, 3) uint8 RGB for the FIRST image block
+    (fixture payloads are single-frame; animation frames after the first
+    are ignored, like a thumbnailer would). Handles global and local
+    color tables, interlace, and 89a extension blocks."""
+    if buf[:6] not in GIF_SIGS:
+        raise ImageDecodeError("gif: bad signature")
+    if len(buf) < 13:
+        raise ImageDecodeError("gif: truncated header")
+    packed = buf[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(buf[pos : pos + 3 * n], dtype=np.uint8)
+        if gct.size != 3 * n:
+            raise ImageDecodeError("gif: truncated global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    while True:
+        if pos >= len(buf):
+            raise ImageDecodeError("gif: missing image block")
+        block = buf[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ImageDecodeError("gif: no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(buf):
+                    raise ImageDecodeError("gif: truncated extension")
+                sz = buf[pos]
+                pos += 1 + sz
+                if sz == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ImageDecodeError(f"gif: unexpected block 0x{block:02x}")
+        break
+    if pos + 9 > len(buf):
+        raise ImageDecodeError("gif: truncated image descriptor")
+    iw = int.from_bytes(buf[pos + 4 : pos + 6], "little")
+    ih = int.from_bytes(buf[pos + 6 : pos + 8], "little")
+    ipacked = buf[pos + 8]
+    pos += 9
+    if iw == 0 or ih == 0:
+        raise ImageDecodeError("gif: zero dimension")
+    palette = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 7)
+        palette = np.frombuffer(buf[pos : pos + 3 * n], dtype=np.uint8)
+        if palette.size != 3 * n:
+            raise ImageDecodeError("gif: truncated local color table")
+        palette = palette.reshape(n, 3)
+        pos += 3 * n
+    if palette is None:
+        raise ImageDecodeError("gif: no color table")
+    if pos >= len(buf):
+        raise ImageDecodeError("gif: truncated before LZW data")
+    min_code_size = buf[pos]
+    pos += 1
+    if not 2 <= min_code_size <= 11:
+        raise ImageDecodeError("gif: bad LZW minimum code size")
+    chunks = []
+    while True:
+        if pos >= len(buf):
+            raise ImageDecodeError("gif: truncated data sub-blocks")
+        sz = buf[pos]
+        pos += 1
+        if sz == 0:
+            break
+        chunk = buf[pos : pos + sz]
+        if len(chunk) != sz:
+            raise ImageDecodeError("gif: truncated data sub-block")
+        chunks.append(chunk)
+        pos += sz
+    idx = _gif_lzw_decode(min_code_size, b"".join(chunks), iw * ih)
+    if int(idx.max(initial=0)) >= palette.shape[0]:
+        raise ImageDecodeError("gif: palette index out of range")
+    rows = idx.reshape(ih, iw)
+    if ipacked & 0x40:  # interlaced: reorder the 4 passes
+        out_rows = np.empty_like(rows)
+        src = 0
+        for off, step in GIF_INTERLACE_PASSES:
+            n_rows = len(range(off, ih, step))
+            out_rows[off:ih:step] = rows[src : src + n_rows]
+            src += n_rows
+        rows = out_rows
+    return palette[rows]
+
+
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resample to (height, width, 3) — pixel-center
     mapping ``src = floor((dst + 0.5) * src_size / dst_size)``, the
@@ -650,6 +819,8 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_png(buf)
     if buf[: len(JPEG_SIG)] == JPEG_SIG:
         return decode_jpeg(buf)
+    if buf[:6] in GIF_SIGS:
+        return decode_gif(buf)
     raise ImageDecodeError(f"unsupported container (magic {buf[:4]!r})")
 
 

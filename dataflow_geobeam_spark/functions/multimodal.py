@@ -181,6 +181,7 @@ def with_thumbnails(
             b[:2] in (b"P6", b"P5", b"BM")
             or b[:4] == b"\x89PNG"
             or b[:3] == b"\xff\xd8\xff"
+            or b[:6] in (b"GIF87a", b"GIF89a")
         ):
             try:
                 return thumbnail_ppm(b, width, height)

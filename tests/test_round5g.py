@@ -116,7 +116,7 @@ def test_jpeg_zigzag_derivation_matches_engine_table():
 
 
 def test_jpeg_rows_flow_through_thumbnail_pipeline(spark, sf_dir):
-    """images_v3 jpeg rows produce REAL (non-fake) thumbnails: decode the
+    """fixture jpeg rows produce REAL (non-fake) thumbnails: decode the
     engine's P6 output and check it against the independent decode+resize
     of the same payload, and fake-path output (width*height bytes, no P6
     header) is absent for jpegs."""
@@ -164,3 +164,39 @@ def test_fixture_write_atomic_no_partial_on_failure(tmp_path):
         _write_table_atomic(tbl, dest2, compression="no-such-codec")
     assert not (tmp_path / "h.parquet").exists()
     assert [f.name for f in tmp_path.iterdir()] == ["g.parquet"]
+
+
+def test_gif_roundtrip_engine_vs_independent():
+    """GIF is lossless indexed color: both decoders must return the exact
+    source pixels across sizes, interlace on/off, and the 4096-entry LZW
+    dictionary-reset path."""
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    for h, w in [(1, 1), (12, 16), (37, 51), (9, 300)]:
+        img = pal[rng.integers(0, 64, (h, w))]
+        for interlace in (False, True):
+            buf = ind.gif_bytes(img, interlace=interlace)
+            assert np.array_equal(eng.decode_gif(buf), img), (h, w, interlace)
+            assert np.array_equal(ind.decode_gif_image(buf), img), (h, w, interlace)
+            assert np.array_equal(eng.decode_image(buf), img)
+            assert np.array_equal(ind.decode_any_image(buf), img)
+    # force LZW dictionary growth past 4096 (encoder emits CLEAR + reset)
+    pal256 = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    big = pal256[rng.integers(0, 256, (200, 200))]
+    buf = ind.gif_bytes(big)
+    assert np.array_equal(eng.decode_gif(buf), big)
+    assert np.array_equal(ind.decode_gif_image(buf), big)
+
+
+def test_gif_rejects_truncation_everywhere_and_guards_palette():
+    rng = np.random.default_rng(6)
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    buf = ind.gif_bytes(pal[rng.integers(0, 64, (30, 40))], interlace=True)
+    for cut in range(8, len(buf) - 1, 13):
+        with pytest.raises(eng.ImageDecodeError):
+            eng.decode_gif(buf[:cut])
+        with pytest.raises(ValueError):
+            ind.decode_gif_image(buf[:cut])
+    # encoder refuses images its single color table cannot represent
+    with pytest.raises(ValueError, match="256"):
+        ind.gif_bytes(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
