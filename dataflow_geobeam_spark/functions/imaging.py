@@ -806,9 +806,10 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 def decode_image(buf: bytes) -> np.ndarray:
     """Dispatch on magic bytes to a pure-Python decoder. PPM, PGM, BMP,
-    PNG and baseline JPEG (round 5) are decoded here from spec; other
-    containers raise (callers fall back to the PIL gate / deterministic
-    fake in functions/multimodal.py)."""
+    PNG, baseline JPEG and GIF (round 5) are decoded here from spec —
+    every still-image container in the sniffer registry; other containers
+    raise (callers fall back to the PIL gate / deterministic fake in
+    functions/multimodal.py)."""
     if buf[:2] == b"P6":
         return decode_ppm(buf)
     if buf[:2] == b"P5":
