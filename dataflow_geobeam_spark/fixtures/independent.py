@@ -875,6 +875,9 @@ def decode_jpeg_image(buf: bytes) -> np.ndarray:
         if pos + 4 > len(buf):
             raise ValueError("independent jpeg: truncated before SOS")
         marker = buf[pos + 1]
+        if marker == 0xFF:  # fill bytes before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         ln = _s.unpack_from(">H", buf, pos + 2)[0]
         seg = buf[pos + 4 : pos + 2 + ln]
         if len(seg) != ln - 2:

@@ -477,6 +477,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         if buf[pos] != 0xFF:
             raise ImageDecodeError("jpeg: expected marker")
         marker = buf[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional fill bytes before a marker
+            pos += 1
+            continue
         seg_len = struct.unpack_from(">H", buf, pos + 2)[0]
         seg = buf[pos + 4 : pos + 2 + seg_len]
         if len(seg) != seg_len - 2:

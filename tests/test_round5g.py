@@ -200,3 +200,17 @@ def test_gif_rejects_truncation_everywhere_and_guards_palette():
     # encoder refuses images its single color table cannot represent
     with pytest.raises(ValueError, match="256"):
         ind.gif_bytes(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
+
+
+def test_jpeg_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker;
+    both decoders must skip them (our encoder never emits them, so inject
+    fill before SOF0 and before SOS and require identical output)."""
+    img = _test_image(20, 28, 9)
+    buf = ind.jpeg_bytes(img)
+    base = eng.decode_jpeg(buf)
+    for marker in (b"\xff\xc0", b"\xff\xda"):
+        at = buf.index(marker)
+        filled = buf[:at] + b"\xff\xff\xff" + buf[at:]
+        assert np.array_equal(eng.decode_jpeg(filled), base)
+        assert np.array_equal(ind.decode_jpeg_image(filled), base)
