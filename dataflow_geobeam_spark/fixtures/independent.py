@@ -931,6 +931,8 @@ def decode_jpeg_image(buf: bytes) -> np.ndarray:
     if frame is None:
         raise ValueError("independent jpeg: no SOF0")
     h, w, comps = frame
+    if h * w > (1 << 26):
+        raise ValueError("independent jpeg: raster too large")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -1015,7 +1017,11 @@ def decode_jpeg_image(buf: bytes) -> np.ndarray:
                     for bx in range(hs):
                         coef = [0] * 64
                         s = decode_sym(huff[(0, dc_t)])
+                        if s > 11:
+                            raise ValueError("independent jpeg: DC category")
                         pred[cid] += receive_extend(s)
+                        if not -(1 << 15) <= pred[cid] < (1 << 15):
+                            raise ValueError("independent jpeg: DC predictor range")
                         coef[0] = pred[cid] * q[0]
                         k = 0
                         while k < 63:
@@ -1026,6 +1032,8 @@ def decode_jpeg_image(buf: bytes) -> np.ndarray:
                                     k += 16
                                     continue
                                 break
+                            if ss > 10:
+                                raise ValueError("independent jpeg: AC category")
                             k += rr + 1
                             if k > 63:
                                 raise ValueError("independent jpeg: overrun")
@@ -1203,6 +1211,8 @@ def _decode_gif_image(buf: bytes) -> np.ndarray:
         break
     iw = buf[pos + 4] | (buf[pos + 5] << 8)
     ih = buf[pos + 6] | (buf[pos + 7] << 8)
+    if iw * ih > (1 << 26):
+        raise ValueError("independent gif: raster too large")
     ipacked = buf[pos + 8]
     pos += 9
     if ipacked & 0x80:

@@ -454,7 +454,23 @@ def _jpeg_extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JPEG -> (height, width, 3) uint8 RGB.
+    """Baseline JPEG -> (height, width, 3) uint8 RGB. Any malformation —
+    including shapes the parser body would surface as IndexError/KeyError
+    (short SOF segments, a scan referencing an undeclared component) —
+    raises ImageDecodeError, so the mapInArrow kernels map it to a NULL
+    row instead of crashing the task (F1 semantics at crawl scale)."""
+    try:
+        return _decode_jpeg(buf)
+    except ImageDecodeError:
+        raise
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ImageDecodeError(
+            f"jpeg: malformed stream ({type(exc).__name__})"
+        ) from exc
+
+
+def _decode_jpeg(buf: bytes) -> np.ndarray:
+    """Parser body for decode_jpeg (docstring there).
 
     Supports 8-bit baseline DCT (SOF0), 1 or 3 components, sampling
     factors 1-2 (so 4:4:4, 4:2:2, 4:2:0 and grayscale all decode),
@@ -540,6 +556,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     h, w, comps = frame
     if h == 0 or w == 0:
         raise ImageDecodeError("jpeg: zero dimension")
+    if h * w > (1 << 26):  # 67M pixels: crawl-ingest decode bound
+        raise ImageDecodeError("jpeg: raster larger than the decode bound")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
@@ -572,8 +590,15 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                     for bx in range(hs):
                         coef = np.zeros(64, dtype=np.int32)
                         s = _jpeg_decode_sym(bits, dc_table)
+                        if s > 11:  # T.81 F.1.2.1.2: 8-bit DC category <= 11
+                            raise ImageDecodeError("jpeg: DC size category out of range")
                         diff = _jpeg_extend(bits.receive(s), s)
                         pred[cid] += diff
+                        if not -(1 << 15) <= pred[cid] < (1 << 15):
+                            # legal 8-bit streams keep the predictor within
+                            # +-2047; a corrupt stream must not overflow the
+                            # int32 coefficient array
+                            raise ImageDecodeError("jpeg: DC predictor out of range")
                         coef[0] = pred[cid] * q[0]
                         k = 0
                         while k < 63:
@@ -584,6 +609,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                                     k += 16
                                     continue
                                 break  # EOB
+                            if size > 10:  # T.81 F.1.2.2.1: 8-bit AC size <= 10
+                                raise ImageDecodeError("jpeg: AC size category out of range")
                             k += r + 1
                             if k > 63:
                                 raise ImageDecodeError("jpeg: coefficient overrun")
@@ -705,7 +732,20 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarra
 
 
 def decode_gif(buf: bytes) -> np.ndarray:
-    """GIF -> (height, width, 3) uint8 RGB for the FIRST image block
+    """GIF -> (height, width, 3) uint8 RGB; malformation always surfaces
+    as ImageDecodeError (same boundary contract as decode_jpeg)."""
+    try:
+        return _decode_gif(buf)
+    except ImageDecodeError:
+        raise
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ImageDecodeError(
+            f"gif: malformed stream ({type(exc).__name__})"
+        ) from exc
+
+
+def _decode_gif(buf: bytes) -> np.ndarray:
+    """Parser body for decode_gif: FIRST image block
     (fixture payloads are single-frame; animation frames after the first
     are ignored, like a thumbnailer would). Handles global and local
     color tables, interlace, and 89a extension blocks."""
@@ -751,6 +791,8 @@ def decode_gif(buf: bytes) -> np.ndarray:
     pos += 9
     if iw == 0 or ih == 0:
         raise ImageDecodeError("gif: zero dimension")
+    if iw * ih > (1 << 26):  # same crawl-ingest decode bound as JPEG
+        raise ImageDecodeError("gif: raster larger than the decode bound")
     palette = gct
     if ipacked & 0x80:
         n = 2 << (ipacked & 7)

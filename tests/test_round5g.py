@@ -214,3 +214,29 @@ def test_jpeg_fill_bytes_before_markers_are_skipped():
         filled = buf[:at] + b"\xff\xff\xff" + buf[at:]
         assert np.array_equal(eng.decode_jpeg(filled), base)
         assert np.array_equal(ind.decode_jpeg_image(filled), base)
+
+
+def test_jpeg_gif_mutation_fuzz_never_escapes_imagedecodeerror():
+    """Crawl-scale contract: ANY malformed payload must either decode or
+    raise ImageDecodeError — a stray IndexError/KeyError/struct.error
+    would crash the whole mapInArrow task instead of producing the F1
+    NULL row. Deterministic byte-mutation fuzz over both containers."""
+    rng = np.random.default_rng(1234)
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    payloads = {
+        "jpeg": ind.jpeg_bytes(_test_image(20, 28, 10)),
+        "gif": ind.gif_bytes(pal[rng.integers(0, 64, (20, 28))]),
+    }
+    decoders = {"jpeg": eng.decode_jpeg, "gif": eng.decode_gif}
+    for fmt, buf in payloads.items():
+        arr = bytearray(buf)
+        for trial in range(300):
+            mutated = bytearray(arr)
+            for _ in range(int(rng.integers(1, 4))):
+                mutated[int(rng.integers(0, len(arr)))] = int(rng.integers(0, 256))
+            for cut in (len(arr), int(rng.integers(4, len(arr)))):
+                try:
+                    out = decoders[fmt](bytes(mutated[:cut]))
+                    assert out.dtype == np.uint8 and out.ndim == 3
+                except eng.ImageDecodeError:
+                    pass  # the only permitted failure mode
