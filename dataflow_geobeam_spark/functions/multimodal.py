@@ -158,13 +158,14 @@ def with_thumbnails(
     Kernel dispatch (round-4 VERDICT #5 — one multimodal kernel is now
     REAL, no imaging lib needed):
 
-    * PPM ("P6") / PGM ("P5") / BMP ("BM") / PNG / baseline JPEG (both
-      round 5) payloads: from-spec decode -> nearest-neighbor resize ->
+    * PPM ("P6") / PGM ("P5") / BMP ("BM") / PNG / baseline JPEG / GIF
+      (all still-image containers in the sniffer registry, PNG/JPEG/GIF
+      from round 5): from-spec decode -> nearest-neighbor resize ->
       P6 PPM re-encode (functions/imaging.py). A malformed payload yields
       a NULL thumbnail — decode-failure => invalid row, the same
       F1/make_valid semantics the audio decode path uses.
-    * other containers (gif/webm/...): PIL resize when installed, else
-      the deterministic content-hash fake — the plumbing (batching, null
+    * other containers (webm/...): PIL resize when installed, else the
+      deterministic content-hash fake — the plumbing (batching, null
       propagation, schema) is identical either way.
     """
     from pyspark.sql.types import BinaryType
