@@ -1287,8 +1287,206 @@ def _decode_gif_image(buf: bytes) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# TIFF (TIFF 6.0 baseline): strip-organized 8-bit gray/RGB, uncompressed or
+# PackBits, either byte order. Lossless, so the dual decoders agree
+# trivially; the encoder exercises multi-strip layouts and both byte
+# orders so the engine's IFD walk decodes every variant for real.
+# ---------------------------------------------------------------------------
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """TIFF 6.0 PackBits encoder: replicate runs of >= 3, literals
+    otherwise, 128-byte chunks."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(row[i])
+            i += run
+            continue
+        lit_start = i
+        i += 1
+        while (
+            i < n
+            and i - lit_start < 128
+            and not (i + 2 < n and row[i] == row[i + 1] == row[i + 2])
+        ):
+            i += 1
+        out.append(i - lit_start - 1)
+        out += row[lit_start:i]
+    return bytes(out)
+
+
+def tiff_bytes(
+    img: np.ndarray,
+    gray: bool = False,
+    packbits: bool = False,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """(h, w, 3) uint8 -> baseline TIFF: 8-byte header, strip data, IFD at
+    the end with offset-area values. gray=True stores channel 0 as
+    PhotometricInterpretation=1 (BlackIsZero)."""
+    import struct as _s
+
+    bo = ">" if big_endian else "<"
+    h, w = img.shape[:2]
+    spp = 1 if gray else 3
+    plane = img[:, :, 0] if gray else img
+    rps = rows_per_strip or max(1, (h + 2) // 3)  # a few strips by default
+    row_bytes = w * spp
+    raw = plane.astype(np.uint8).tobytes()
+    strips = []
+    for top in range(0, h, rps):
+        chunk = raw[top * row_bytes : min(top + rps, h) * row_bytes]
+        strips.append(_packbits_encode(chunk) if packbits else chunk)
+
+    header = _s.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 0x2A, 0)
+    data = bytearray(header)
+    strip_offsets = []
+    for sdat in strips:
+        strip_offsets.append(len(data))
+        data += sdat
+    if len(data) % 2:
+        data += b"\x00"  # IFD must be word-aligned
+
+    entries = []  # (tag, type, count, packed-values bytes)
+    extra = bytearray()
+
+    def add(tag: int, typ: int, values: list[int]) -> None:
+        fmt = {3: "H", 4: "I"}[typ]
+        size = {3: 2, 4: 4}[typ]
+        payload = b"".join(_s.pack(bo + fmt, v) for v in values)
+        entries.append((tag, typ, len(values), payload, size * len(values)))
+
+    add(256, 4, [w])
+    add(257, 4, [h])
+    add(258, 3, [8] * spp)
+    add(259, 3, [32773 if packbits else 1])
+    add(262, 3, [2 if spp == 3 else 1])
+    add(273, 4, strip_offsets)
+    add(277, 3, [spp])
+    add(278, 4, [rps])
+    add(279, 4, [len(sd) for sd in strips])
+    add(284, 3, [1])
+    entries.sort(key=lambda e: e[0])  # spec: ascending tag order
+
+    ifd_off = len(data)
+    ifd = bytearray(_s.pack(bo + "H", len(entries)))
+    extra_base = ifd_off + 2 + 12 * len(entries) + 4
+    for tag, typ, count, payload, total in entries:
+        ifd += _s.pack(bo + "HHI", tag, typ, count)
+        if total <= 4:
+            ifd += payload + b"\x00" * (4 - total)
+        else:
+            ifd += _s.pack(bo + "I", extra_base + len(extra))
+            extra += payload
+    ifd += _s.pack(bo + "I", 0)  # next-IFD pointer: none
+    data += ifd + extra
+    # header's IFD offset was a placeholder: patch it now
+    data[4:8] = _s.pack(bo + "I", ifd_off)
+    return bytes(data)
+
+
+def decode_tiff_image(buf: bytes) -> np.ndarray:
+    """Baseline TIFF decode, second implementation: scalar IFD walk with
+    int.from_bytes (the engine uses struct), per-strip/per-row loops, a
+    scalar PackBits state machine. Truncation surfaces as ValueError."""
+    try:
+        return _decode_tiff_image(buf)
+    except IndexError as exc:
+        raise ValueError("independent tiff: truncated payload") from exc
+
+
+def _decode_tiff_image(buf: bytes) -> np.ndarray:
+    if buf[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("independent tiff: bad signature")
+    little = buf[:2] == b"II"
+
+    def rd(off: int, size: int) -> int:
+        b = buf[off : off + size]
+        if len(b) != size:
+            raise ValueError("independent tiff: truncated read")
+        return int.from_bytes(b, "little" if little else "big")
+
+    ifd = rd(4, 4)
+    n = rd(ifd, 2)
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        off = ifd + 2 + 12 * i
+        tag = rd(off, 2)
+        typ = rd(off + 2, 2)
+        count = rd(off + 4, 4)
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue
+        voff = off + 8 if size * count <= 4 else rd(off + 8, 4)
+        tags[tag] = [rd(voff + k * size, size) for k in range(count)]
+
+    def one(tag: int, default=None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"independent tiff: missing tag {tag}")
+        return default
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    photo = one(262, 1)
+    spp = one(277, 1)
+    rps = one(278, h)
+    if comp not in (1, 32773) or one(284, 1) != 1:
+        raise ValueError("independent tiff: unsupported layout")
+    if any(b != 8 for b in tags.get(258, [8] * spp)):
+        raise ValueError("independent tiff: only 8-bit")
+    rows: list[list[int]] = []
+    row_bytes = w * spp
+    for s_i, (s_off, s_cnt) in enumerate(zip(tags[273], tags[279])):
+        strip = buf[s_off : s_off + s_cnt]
+        if len(strip) != s_cnt:
+            raise ValueError("independent tiff: truncated strip")
+        n_rows = min(rps, h - s_i * rps)
+        if comp == 32773:
+            # scalar PackBits
+            out = bytearray()
+            p = 0
+            while len(out) < n_rows * row_bytes:
+                if p >= len(strip):
+                    raise ValueError("independent tiff: short PackBits")
+                c = strip[p]
+                p += 1
+                if c < 128:
+                    out += strip[p : p + c + 1]
+                    p += c + 1
+                elif c > 128:
+                    out += bytes([strip[p]]) * (257 - c)
+                    p += 1
+            strip = bytes(out)
+        for r in range(n_rows):
+            rows.append(list(strip[r * row_bytes : (r + 1) * row_bytes]))
+    if len(rows) < h:
+        raise ValueError("independent tiff: short raster")
+    out_img = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            if spp == 1:
+                v = rows[y][x]
+                if photo == 0:
+                    v = 255 - v
+                out_img[y, x] = v
+            else:
+                out_img[y, x] = rows[y][3 * x : 3 * x + 3]
+    return out_img
+
+
 def decode_any_image(buf: bytes) -> np.ndarray:
-    """Magic-dispatched independent decode (PPM/PGM/BMP/PNG/JPEG/GIF)."""
+    """Magic-dispatched independent decode (PPM/PGM/BMP/PNG/JPEG/GIF/TIFF)."""
     if buf[:2] == b"P6":
         return decode_ppm_image(buf)
     if buf[:2] == b"P5":
@@ -1301,6 +1499,8 @@ def decode_any_image(buf: bytes) -> np.ndarray:
         return decode_jpeg_image(buf)
     if buf[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_image(buf)
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff_image(buf)
     raise ValueError(f"independent: unsupported container {buf[:4]!r}")
 
 

@@ -837,6 +837,157 @@ def _decode_gif(buf: bytes) -> np.ndarray:
     return palette[rows]
 
 
+# ---------------------------------------------------------------------------
+# TIFF (TIFF 6.0 baseline): the REFERENCE's own flagship container — geobeam
+# reads GeoTIFF rasters via rasterio (/root/reference/geobeam/io.py:124-127);
+# here the container itself is parsed from the published spec. Scope:
+# 8-bit grayscale + RGB, chunky planar config, strip-organized, compression
+# none (1) or PackBits (32773), both byte orders, IFD walk with inline or
+# offset values. Tiles, LZW/deflate, and sub-8-bit depths are rejected
+# explicitly. Same error boundary as JPEG/GIF: anything malformed raises
+# ImageDecodeError so the mapInArrow kernels yield NULL rows, never crash.
+# ---------------------------------------------------------------------------
+
+TIFF_SIGS = (b"II*\x00", b"MM\x00*")
+
+# entry type -> byte width (TIFF 6.0 section 2); only the ones we read
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """TIFF 6.0 PackBits: n in 0..127 => copy n+1 literal bytes;
+    n in -127..-1 => repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    pos = 0
+    n_data = len(data)
+    while len(out) < expect:
+        if pos >= n_data:
+            raise ImageDecodeError("tiff: truncated PackBits stream")
+        n = data[pos]
+        pos += 1
+        if n < 128:  # literal run
+            chunk = data[pos : pos + n + 1]
+            if len(chunk) != n + 1:
+                raise ImageDecodeError("tiff: truncated PackBits literal")
+            out += chunk
+            pos += n + 1
+        elif n == 128:  # no-op
+            continue
+        else:  # replicate run: two's-complement -127..-1
+            if pos >= n_data:
+                raise ImageDecodeError("tiff: truncated PackBits run")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+    if len(out) != expect:
+        raise ImageDecodeError("tiff: PackBits output overruns strip")
+    return bytes(out)
+
+
+def decode_tiff(buf: bytes) -> np.ndarray:
+    """Baseline TIFF -> (height, width, 3) uint8 RGB; malformation always
+    surfaces as ImageDecodeError (same boundary contract as JPEG/GIF)."""
+    try:
+        return _decode_tiff(buf)
+    except ImageDecodeError:
+        raise
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ImageDecodeError(
+            f"tiff: malformed stream ({type(exc).__name__})"
+        ) from exc
+
+
+def _decode_tiff(buf: bytes) -> np.ndarray:
+    if buf[:4] not in TIFF_SIGS:
+        raise ImageDecodeError("tiff: bad signature")
+    bo = "<" if buf[:2] == b"II" else ">"
+    ifd_off = struct.unpack_from(bo + "I", buf, 4)[0]
+    if ifd_off + 2 > len(buf):
+        raise ImageDecodeError("tiff: truncated IFD offset")
+    n_entries = struct.unpack_from(bo + "H", buf, ifd_off)[0]
+    if ifd_off + 2 + 12 * n_entries > len(buf):
+        raise ImageDecodeError("tiff: truncated IFD")
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ = struct.unpack_from(bo + "HH", buf, off)
+        count = struct.unpack_from(bo + "I", buf, off + 4)[0]
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            continue  # RATIONAL/ASCII etc. — nothing we need
+        total = size * count
+        if total <= 4:
+            voff = off + 8
+        else:
+            voff = struct.unpack_from(bo + "I", buf, off + 8)[0]
+            if voff + total > len(buf):
+                raise ImageDecodeError("tiff: entry values out of bounds")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack_from(bo + str(count) + fmt, buf, voff))
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ImageDecodeError(f"tiff: missing required tag {tag}")
+        return default
+
+    width = one(256)
+    height = one(257)
+    if width == 0 or height == 0:
+        raise ImageDecodeError("tiff: zero dimension")
+    if width * height > (1 << 26):  # same crawl-ingest bound as JPEG/GIF
+        raise ImageDecodeError("tiff: raster larger than the decode bound")
+    compression = one(259, 1)
+    photometric = one(262, 1)
+    spp = one(277, 1)
+    planar = one(284, 1)
+    bits = tags.get(258, [8] * spp)
+    if any(b != 8 for b in bits):
+        raise ImageDecodeError("tiff: only 8 bits per sample supported")
+    if compression not in (1, 32773):
+        raise ImageDecodeError(f"tiff: unsupported compression {compression}")
+    if planar != 1:
+        raise ImageDecodeError("tiff: only chunky planar configuration")
+    if 322 in tags or 324 in tags:
+        raise ImageDecodeError("tiff: tiled organization unsupported")
+    if (photometric in (0, 1) and spp != 1) or (photometric == 2 and spp != 3):
+        raise ImageDecodeError(
+            f"tiff: photometric {photometric} with {spp} samples unsupported"
+        )
+    if photometric not in (0, 1, 2):
+        raise ImageDecodeError(f"tiff: photometric {photometric} unsupported")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ImageDecodeError("tiff: missing strip layout")
+    rows_per_strip = one(278, height)
+    row_bytes = width * spp
+    raster = bytearray()
+    rows_done = 0
+    for s_off, s_cnt in zip(offsets, counts):
+        strip = buf[s_off : s_off + s_cnt]
+        if len(strip) != s_cnt:
+            raise ImageDecodeError("tiff: truncated strip")
+        n_rows = min(rows_per_strip, height - rows_done)
+        if n_rows <= 0:
+            break
+        if compression == 32773:
+            strip = _packbits_decode(strip, n_rows * row_bytes)
+        elif len(strip) < n_rows * row_bytes:
+            raise ImageDecodeError("tiff: strip shorter than its rows")
+        raster += strip[: n_rows * row_bytes]
+        rows_done += n_rows
+    if rows_done < height:
+        raise ImageDecodeError("tiff: strips cover fewer rows than ImageLength")
+    arr = np.frombuffer(bytes(raster), dtype=np.uint8)
+    if spp == 1:
+        g = arr.reshape(height, width)
+        if photometric == 0:  # WhiteIsZero: invert to the usual polarity
+            g = 255 - g
+        return np.repeat(g[:, :, None], 3, axis=2)
+    return arr.reshape(height, width, 3).copy()
+
+
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resample to (height, width, 3) — pixel-center
     mapping ``src = floor((dst + 0.5) * src_size / dst_size)``, the
@@ -867,6 +1018,8 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_jpeg(buf)
     if buf[:6] in GIF_SIGS:
         return decode_gif(buf)
+    if buf[:4] in TIFF_SIGS:
+        return decode_tiff(buf)
     raise ImageDecodeError(f"unsupported container (magic {buf[:4]!r})")
 
 

@@ -47,6 +47,9 @@ MAGIC_PREFIXES: tuple[tuple[str, str], ...] = (
     ("89504e47", "png"),
     ("ffd8ff", "jpeg"),
     ("47494638", "gif"),
+    ("49492a00", "tiff"),  # little-endian — the reference's raster container
+    ("4d4d002a", "tiff"),  # big-endian
+
     ("52494646", "riff"),  # wav/avi container
     ("664c6143", "flac"),
     ("4f676753", "ogg"),
@@ -183,6 +186,7 @@ def with_thumbnails(
             or b[:4] == b"\x89PNG"
             or b[:3] == b"\xff\xd8\xff"
             or b[:6] in (b"GIF87a", b"GIF89a")
+            or b[:4] in (b"II*\x00", b"MM\x00*")
         ):
             try:
                 return thumbnail_ppm(b, width, height)

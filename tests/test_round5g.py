@@ -240,3 +240,47 @@ def test_jpeg_gif_mutation_fuzz_never_escapes_imagedecodeerror():
                     assert out.dtype == np.uint8 and out.ndim == 3
                 except eng.ImageDecodeError:
                     pass  # the only permitted failure mode
+
+
+def test_tiff_roundtrip_engine_vs_independent_all_variants():
+    """TIFF 6.0 baseline (the reference's own raster container, parsed
+    from spec here instead of via rasterio): lossless across gray/RGB,
+    PackBits on/off, both byte orders, and strip layouts from one-row
+    strips to a single strip."""
+    rng = np.random.default_rng(8)
+    for h, w in [(1, 1), (12, 16), (37, 51)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        gimg = np.repeat(img[:, :, :1], 3, axis=2)
+        for gray in (False, True):
+            src = gimg if gray else img
+            for pb in (False, True):
+                for be in (False, True):
+                    for rps in (None, 1, 1000):
+                        buf = ind.tiff_bytes(
+                            src, gray=gray, packbits=pb, big_endian=be, rows_per_strip=rps
+                        )
+                        assert np.array_equal(eng.decode_tiff(buf), src)
+                        assert np.array_equal(ind.decode_tiff_image(buf), src)
+                        assert np.array_equal(eng.decode_image(buf), src)
+                        assert np.array_equal(ind.decode_any_image(buf), src)
+
+
+def test_tiff_rejects_malformed_and_fuzz_clean():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    buf = ind.tiff_bytes(img, packbits=True)
+    for cut in range(4, len(buf) - 1, 17):
+        with pytest.raises(eng.ImageDecodeError):
+            eng.decode_tiff(buf[:cut])
+        with pytest.raises(ValueError):
+            ind.decode_tiff_image(buf[:cut])
+    arr = bytearray(buf)
+    for t in range(400):  # mutation fuzz: only ImageDecodeError may escape
+        m = bytearray(arr)
+        for _ in range(int(rng.integers(1, 4))):
+            m[int(rng.integers(0, len(arr)))] = int(rng.integers(0, 256))
+        try:
+            out = eng.decode_tiff(bytes(m))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except eng.ImageDecodeError:
+            pass
