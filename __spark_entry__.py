@@ -1151,11 +1151,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "image_thumbnails": f"""
             SELECT img_id, container, thumb_md5, thumb_len
-            FROM read_parquet('{FIXTURES_SF01}/golden_thumbnails_v4.parquet')
+            FROM read_parquet('{FIXTURES_SF01}/golden_thumbnails_v5.parquet')
         """,
         "image_near_dups": f"""
             SELECT id_a, id_b, cosine
-            FROM read_parquet('{FIXTURES_SF01}/golden_image_near_dups_v4.parquet')
+            FROM read_parquet('{FIXTURES_SF01}/golden_image_near_dups_v5.parquet')
         """,
         "emb_label_centroids": """
             WITH e AS (SELECT label, unnest(embedding) AS v FROM embeddings)

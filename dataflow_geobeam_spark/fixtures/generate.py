@@ -732,7 +732,7 @@ IMG_ROWS_PER_SF = 6400  # sf0.01 -> 64, sf0.1 -> 640
 THUMB_W, THUMB_H = 16, 12
 
 
-_IMG_FMTS = ("ppm", "bmp", "pgm", "png", "jpeg", "gif")
+_IMG_FMTS = ("ppm", "bmp", "pgm", "png", "jpeg", "gif", "tiff")
 _PNG_CTS = (2, 6, 0)  # RGB, RGBA(opaque), grayscale — all lossless round-trips
 # GIF is indexed color: its fixture images draw pixels from this fixed
 # 64-color palette so the (lossless) encode always fits one color table.
@@ -742,6 +742,8 @@ _GIF_PAL = np.random.default_rng([42, 555_000]).integers(0, 256, (64, 3), dtype=
 # decoders. JPEG is lossy — goldens always come from the independent
 # decode of the actual bytes, so lossiness never enters the compare.
 _JPG_VARIANTS = (("444", False, 0), ("420", False, 0), ("444", True, 0), ("420", False, 3))
+# (packbits, big_endian): exercises both TIFF compressions and byte orders
+_TIFF_VARIANTS = ((False, False), (True, False), (False, True), (True, True))
 
 
 def _is_gray_fmt(fmt: str, png_ct: int, jpg_var: tuple[str, bool, int]) -> bool:
@@ -760,6 +762,7 @@ def _encode_image(
     png_ct: int = 2,
     jpg_var: tuple[str, bool, int] = _JPG_VARIANTS[0],
     gif_interlace: bool = False,
+    tiff_var: tuple[bool, bool] = _TIFF_VARIANTS[0],
 ) -> bytes:
     if fmt == "ppm":
         return independent.ppm_bytes(img)
@@ -774,6 +777,9 @@ def _encode_image(
         )
     if fmt == "gif":
         return independent.gif_bytes(img, interlace=gif_interlace)
+    if fmt == "tiff":
+        pb, be = tiff_var
+        return independent.tiff_bytes(img, packbits=pb, big_endian=be)
     return independent.pgm_bytes(img)
 
 
@@ -788,7 +794,9 @@ def ensure_images(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
     JPEGs cycle 4:4:4 / 4:2:0 / grayscale / restart-interval variants so
     every entropy + upsample path decodes for real; GIFs draw pixels from
     a fixed 64-color palette (indexed color is the container's model) and
-    alternate interlaced / sequential so both row orders decode for real.
+    alternate interlaced / sequential so both row orders decode for real;
+    TIFFs (v5 — the REFERENCE's raster container, from spec instead of
+    rasterio) cycle PackBits on/off x little/big-endian.
     Grayscale rows keep identical channels; JPEG rows are lossy by design
     — goldens always derive from the independent decode of the stored
     bytes, never from the pre-encode pixels. All encoded by the
@@ -804,7 +812,7 @@ def ensure_images(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
     """
     out_dir = fixtures_dir_for(sf_dir, root)
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, "images_v4.parquet")
+    path = os.path.join(out_dir, "images_v5.parquet")
     if os.path.exists(path):
         return path
     n = max(64, int(IMG_ROWS_PER_SF * sf_from_dir(sf_dir)))
@@ -812,13 +820,16 @@ def ensure_images(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
     prev_img, prev_fmt, prev_ct = None, None, 2
     prev_jpgv = _JPG_VARIANTS[0]
     prev_gif_inter = False
+    prev_tiffv = _TIFF_VARIANTS[0]
     for i in range(n):
         rng = np.random.default_rng([SEED, 9_000_000 + i])
         png_ct = _PNG_CTS[(i // 4) % 3]
         jpg_var = _JPG_VARIANTS[(i // 5) % 4]
         gif_inter = ((i // 6) % 2) == 1
+        tiff_var = _TIFF_VARIANTS[(i // 7) % 4]
         if i % 9 == 4 and prev_img is not None:
             fmt, png_ct, jpg_var, gif_inter = prev_fmt, prev_ct, prev_jpgv, prev_gif_inter
+            tiff_var = prev_tiffv
             if fmt == "gif":
                 # planted near-dup, palette-preserving: flip ~3% of pixels
                 img = prev_img.copy()
@@ -836,11 +847,11 @@ def ensure_images(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
             h = 12 + int(rng.integers(0, 37))
             if i % 9 == 3:
                 # pre-plant slot (i+1 will be its near-dup): walk formats
-                # explicitly — with a plain i%6 cycle, lcm(9,6)=18 means
-                # plants would only ever land on two of the six formats
-                fmt = _IMG_FMTS[(i // 9) % 6]
+                # explicitly — a plain i%k cycle degenerates against the
+                # i%9 plant rule and would plant only a subset of formats
+                fmt = _IMG_FMTS[(i // 9) % 7]
             else:
-                fmt = _IMG_FMTS[i % 6]
+                fmt = _IMG_FMTS[i % 7]
             if fmt == "gif":
                 img = _GIF_PAL[rng.integers(0, 64, (h, w))]
             elif _is_gray_fmt(fmt, png_ct, jpg_var):
@@ -848,9 +859,9 @@ def ensure_images(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
                 img = np.repeat(gray[:, :, None], 3, axis=2)
             else:
                 img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-        buf = _encode_image(img, fmt, png_ct, jpg_var, gif_inter)
+        buf = _encode_image(img, fmt, png_ct, jpg_var, gif_inter, tiff_var)
         prev_img, prev_fmt, prev_ct = img, fmt, png_ct
-        prev_jpgv, prev_gif_inter = jpg_var, gif_inter
+        prev_jpgv, prev_gif_inter, prev_tiffv = jpg_var, gif_inter, tiff_var
         if i % 13 == 5:  # truncate mid-raster; magic bytes survive
             buf = buf[: max(8, int(len(buf) * 0.6))]
         ids.append(f"img{i:06d}")
@@ -889,7 +900,7 @@ def ensure_golden_thumbnails(
 
     images_path = ensure_images(sf_dir, root)
     out_dir = fixtures_dir_for(sf_dir, root)
-    path = os.path.join(out_dir, "golden_thumbnails_v4.parquet")
+    path = os.path.join(out_dir, "golden_thumbnails_v5.parquet")
     if os.path.exists(path):
         return path
     t = pq.read_table(images_path)
@@ -941,7 +952,7 @@ def ensure_golden_image_near_dups(
 
     images_path = ensure_images(sf_dir, root)
     out_dir = fixtures_dir_for(sf_dir, root)
-    path = os.path.join(out_dir, "golden_image_near_dups_v4.parquet")
+    path = os.path.join(out_dir, "golden_image_near_dups_v5.parquet")
     if os.path.exists(path):
         return path
     t = pq.read_table(images_path, columns=["img_id", "bytes"])

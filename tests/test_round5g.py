@@ -284,3 +284,31 @@ def test_tiff_rejects_malformed_and_fuzz_clean():
             assert out.dtype == np.uint8 and out.ndim == 3
         except eng.ImageDecodeError:
             pass
+
+
+def test_every_image_container_contributes_caught_near_dup_pairs(tmp_path):
+    """At the sf0.1 fixture size (640 images) the plant schedule must put
+    surviving (non-truncated) near-dup pairs into EVERY container — the
+    per-format decode paths are only really proven by the dedup pipeline
+    if each format's pairs exist to catch. (At sf0.01's 64 images a few
+    formats' single plant collides with the truncation rule; this pins
+    coverage at the size the bench runs.)"""
+    import pyarrow.parquet as pq
+
+    from dataflow_geobeam_spark.fixtures.generate import (
+        _IMG_FMTS,
+        ensure_golden_image_near_dups,
+        ensure_images,
+    )
+
+    root = str(tmp_path)
+    imgs = pq.read_table(ensure_images("/root/testdata/sf0.1", root=root))
+    gold = pq.read_table(ensure_golden_image_near_dups("/root/testdata/sf0.1", root=root))
+    fmt_by_id = dict(
+        zip(imgs.column("img_id").to_pylist(), imgs.column("fmt").to_pylist())
+    )
+    by_fmt = {f: 0 for f in _IMG_FMTS}
+    for a in gold.column("id_a").to_pylist():
+        by_fmt[fmt_by_id[a]] += 1
+    assert all(n >= 1 for n in by_fmt.values()), by_fmt
+    assert gold.num_rows >= 7 * len(_IMG_FMTS)
