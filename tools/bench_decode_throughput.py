@@ -31,7 +31,7 @@ N_IMAGES = int(os.environ.get("DECODE_BENCH_N", "20000"))
 ROUNDS = int(os.environ.get("DECODE_BENCH_ROUNDS", "2"))
 CPUS_LO = int(os.environ.get("DECODE_BENCH_LO", "8"))
 CPUS_HI = int(os.environ.get("DECODE_BENCH_HI", "32"))
-FORMATS = ("ppm", "bmp", "png", "jpeg", "gif")
+FORMATS = ("ppm", "bmp", "png", "jpeg", "gif", "tiff")
 
 
 def build_corpus(fmt: str, n: int) -> str:
@@ -62,7 +62,11 @@ def build_corpus(fmt: str, n: int) -> str:
             else:
                 img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             ids.append(f"img{i:07d}")
-            bufs.append(_encode_image(img, fmt))
+            bufs.append(
+                _encode_image(img, fmt, tiff_var=(True, False))
+                if fmt == "tiff"
+                else _encode_image(img, fmt)
+            )
             idx += 1
         pq.write_table(
             pa.Table.from_pydict(
@@ -149,7 +153,8 @@ def main() -> None:
         "overhead, not decode — read their imgs/s as a lower bound. PNG",
         "pays zlib + unfilter; JPEG pays a sequential Huffman walk (the",
         "IDCT itself is one batched int64 einsum per component); GIF pays",
-        "a sequential LZW inflate. Those entropy stages are per-IMAGE",
+        "a sequential LZW inflate; TIFF rows here are PackBits-compressed",
+        "(near-memcpy to inflate). Those entropy stages are per-IMAGE",
         "sequential but embarrassingly parallel across images — the",
         "N->4N column shows it where the wall is long enough to matter",
         "(JPEG, the heaviest kernel, scales best). The at-scale join",
