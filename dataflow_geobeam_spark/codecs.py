@@ -169,6 +169,20 @@ def decode(buf: bytes, codec: str) -> tuple[np.ndarray, int]:
         return decode_wav(bytes(buf))
     if codec in _FAKE_MAGIC:
         b = bytes(buf)
+        if codec == "flac" and b[:4] == b"fLaC":
+            # REAL FLAC (round 5): the container format needs no native
+            # library — from-spec decoder in dataflow_geobeam_spark.flac
+            # (frames, Rice residuals, CRCs). The deterministic stand-in
+            # (magic GBSFLAC1) remains for fixture-golden continuity;
+            # magic dispatch lets both coexist.
+            from dataflow_geobeam_spark.flac import decode_flac
+
+            samples, sr, _bps = decode_flac(b)
+            if samples.shape[1] == 1:
+                mono = samples[:, 0]
+            else:  # deterministic downmix: floor-mean across channels
+                mono = np.sum(samples, axis=1) // samples.shape[1]
+            return _int16_to_pcm(mono.astype(np.int16)), int(sr)
         if _soundfile is not None and not b.startswith(_FAKE_MAGIC[codec]):  # pragma: no cover
             import io
 

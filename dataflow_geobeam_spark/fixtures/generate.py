@@ -1903,3 +1903,117 @@ def ensure_golden_reverb(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
     )
     _write_table_atomic(tbl, path, compression="zstd")
     return path
+
+
+# ---------------------------------------------------------------------------
+# Real-FLAC fixture table (round 5): clips encoded by the INDEPENDENT
+# from-spec FLAC writer (fixtures/independent.flac_bytes — frames, Rice
+# residuals, CRC-8/16); the engine's dataflow_geobeam_spark/flac decoder
+# never touches these bytes at generation time. Coexists with the
+# GBSFLAC1 stand-in cycle in clips.parquet (magic dispatch in
+# codecs.decode keeps golden continuity there).
+# ---------------------------------------------------------------------------
+
+FLAC_ROWS_PER_SF = 4800  # sf0.01 -> 48, sf0.1 -> 480
+
+
+def _flac_clip_pcm16(i: int, sr_hz: int, n: int) -> np.ndarray:
+    """Deterministic int16 content spanning the coder's regimes: tonal
+    (Rice-friendly fixed-2 residuals), noisy (high Rice parameters /
+    escapes), constant (CONSTANT subframes), with synth_pcm's seeded
+    tones as the base."""
+    rng = np.random.default_rng([SEED, 12_000_000 + i])
+    if i % 11 == 6:
+        return np.full(n, int(rng.integers(-300, 300)), dtype=np.int16)
+    x = synth_pcm(i, sr_hz, int(n * 1000 / sr_hz) + 1)[:n]
+    if x.shape[0] < n:
+        x = np.pad(x, (0, n - x.shape[0]))
+    if i % 5 == 3:  # noise-heavy: stress the residual coder
+        x = 0.3 * x + 0.7 * rng.standard_normal(n) * 0.5
+    return np.round(np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int16)
+
+
+def ensure_flac_clips(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+    """fixtures/<sf>/flac_clips.parquet: (clip_id string, bytes binary,
+    sr_hz int32). Cycles blocksize 192 / 1000 / 4096, Rice partition
+    order 0 / 2, every 7th clip stereo (left-side decorrelation, engine
+    downmixes), ~7% truncated mid-frame (decode-failure rows the engine
+    must drop — F1 semantics)."""
+    out_dir = fixtures_dir_for(sf_dir, root)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "flac_clips.parquet")
+    if os.path.exists(path):
+        return path
+    n_rows = max(48, int(FLAC_ROWS_PER_SF * sf_from_dir(sf_dir)))
+    ids, bufs, srs = [], [], []
+    for i in range(n_rows):
+        rng = np.random.default_rng([SEED, 12_500_000 + i])
+        sr = (16000, 22050, 8000)[i % 3]
+        n = int(sr * (0.25 + ((i * 37) % 20) / 10.0))  # 0.25 - 2.25 s
+        pcm = _flac_clip_pcm16(i, sr, n)
+        blocksize = (192, 1000, 4096)[(i // 3) % 3]
+        p_order = (0, 2)[(i // 9) % 2]
+        if i % 7 == 2:  # stereo left-side pair; engine downmixes
+            right = np.round(pcm.astype(np.float64) * 0.7).astype(np.int16)
+            samples = np.stack([pcm, right], axis=1)
+            buf = independent.flac_bytes(
+                samples, sr, blocksize=blocksize,
+                stereo_mode="leftside", partition_order=p_order,
+            )
+        else:
+            buf = independent.flac_bytes(
+                pcm, sr, blocksize=blocksize, partition_order=p_order
+            )
+        if i % 13 == 4:  # truncate mid-frame; magic + STREAMINFO survive
+            buf = buf[: max(50, int(len(buf) * 0.6))]
+        ids.append(f"fl{i:06d}")
+        bufs.append(buf)
+        srs.append(sr)
+    tbl = pa.Table.from_pydict(
+        {
+            "clip_id": pa.array(ids),
+            "bytes": pa.array(bufs, type=pa.binary()),
+            "sr_hz": pa.array(srs, type=pa.int32()),
+        }
+    )
+    _write_table_atomic(tbl, path, compression="zstd")
+    return path
+
+
+def ensure_golden_flac_decode(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+    """Golden for the audio_flac_decode driver query: per DECODABLE real
+    FLAC clip, (sr, n_samples, md5 of the little-endian int16 mono
+    stream). Decode via the independent mirror; stereo downmixed with the
+    engine's documented floor-mean; -32768 clamped to -32767 (the
+    engine's normalization contract, codecs._int16_to_pcm)."""
+    import hashlib
+
+    clips_path = ensure_flac_clips(sf_dir, root)
+    out_dir = fixtures_dir_for(sf_dir, root)
+    path = os.path.join(out_dir, "golden_flac_decode.parquet")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(clips_path)
+    ids, srs, lens, md5s = [], [], [], []
+    for cid, buf in zip(t.column("clip_id").to_pylist(), t.column("bytes").to_pylist()):
+        try:
+            samples, sr = independent.decode_flac_independent(bytes(buf))
+        except ValueError:
+            continue  # truncated payload: dropped on both sides
+        s64 = samples.astype(np.int64)
+        mono = s64[:, 0] if s64.shape[1] == 1 else np.sum(s64, axis=1) // s64.shape[1]
+        mono = np.maximum(mono, -32767).astype("<i2")
+        ids.append(cid)
+        srs.append(int(sr))
+        lens.append(int(mono.shape[0]))
+        md5s.append(hashlib.md5(mono.tobytes()).hexdigest())
+    tbl = pa.Table.from_pydict(
+        {
+            "clip_id": pa.array(ids),
+            "sr_hz": pa.array(srs, type=pa.int32()),
+            "n_samples": pa.array(lens, type=pa.int64()),
+            "pcm16_md5": pa.array(md5s),
+        }
+    )
+    _write_table_atomic(tbl, path, compression="zstd")
+    return path

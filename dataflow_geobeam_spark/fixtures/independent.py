@@ -1485,6 +1485,387 @@ def _decode_tiff_image(buf: bytes) -> np.ndarray:
     return out_img
 
 
+# ---------------------------------------------------------------------------
+# Real FLAC (RFC 9639): encoder for fixtures + a per-sample mirror decoder
+# of dataflow_geobeam_spark/flac.decode_flac. FLAC is lossless integer
+# coding, so both decoders must return the exact int16 samples encoded —
+# no arithmetic contract needed beyond the spec itself. The engine never
+# touches these bytes at generation time.
+# ---------------------------------------------------------------------------
+
+
+def _flac_crc8(data: bytes) -> int:
+    """Second implementation: table-driven (the engine loops per bit)."""
+    table = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        table.append(c)
+    crc = 0
+    for b in data:
+        crc = table[crc ^ b]
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    table = []
+    for i in range(256):
+        c = i << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        table.append(c)
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFF) ^ table[(crc >> 8) ^ b]
+    return crc
+
+
+class _FlacBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a one
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+def _flac_utf8(n: int) -> bytes:
+    """UTF-8-style coded number (frame index)."""
+    if n < 0x80:
+        return bytes([n])
+    parts = []
+    while True:
+        parts.append(0x80 | (n & 0x3F))
+        n >>= 6
+        lead_bits = 7 - len(parts) - 1
+        if n < (1 << lead_bits):
+            lead = (0xFF << (lead_bits + 1)) & 0xFF | n
+            return bytes([lead]) + bytes(reversed(parts))
+
+
+def _flac_rice_param(resid: list[int]) -> int:
+    """Pick the Rice parameter from the mean zigzag magnitude."""
+    if not resid:
+        return 0
+    mean = sum((v << 1) if v >= 0 else ((-v << 1) - 1) for v in resid) // max(1, len(resid))
+    p = 0
+    while (1 << (p + 1)) < mean + 1 and p < 14:
+        p += 1
+    return p
+
+
+def _flac_write_subframe(
+    w: _FlacBitWriter, samples: list[int], bps: int, partition_order: int
+) -> None:
+    """CONSTANT when flat, VERBATIM when too short, else FIXED order 2
+    with a partitioned 4-bit Rice residual (escape code when a partition
+    wants >14 bits)."""
+    if len(set(samples)) == 1:
+        w.write(0, 1)
+        w.write(0, 6)  # CONSTANT
+        w.write(0, 1)
+        w.write(samples[0], bps)
+        return
+    if len(samples) < 3 or (len(samples) >> partition_order) <= 2:
+        w.write(0, 1)
+        w.write(1, 6)  # VERBATIM
+        w.write(0, 1)
+        for s in samples:
+            w.write(s, bps)
+        return
+    order = 2
+    # RFC 9639: the blocksize MUST be divisible by 2^partition_order and
+    # partition 0 must keep >= 0 samples — the final short frame of a
+    # stream usually cannot honor the requested order, so clamp per frame
+    # like every real encoder does
+    while partition_order > 0 and (
+        len(samples) % (1 << partition_order)
+        or (len(samples) >> partition_order) < order
+    ):
+        partition_order -= 1
+    w.write(0, 1)
+    w.write(8 + order, 6)  # FIXED order 2
+    w.write(0, 1)  # no wasted bits
+    for s in samples[:order]:
+        w.write(s, bps)
+    resid = [
+        samples[i] - (2 * samples[i - 1] - samples[i - 2])
+        for i in range(order, len(samples))
+    ]
+    w.write(0, 2)  # 4-bit Rice parameters
+    w.write(partition_order, 4)
+    n_parts = 1 << partition_order
+    per = len(samples) >> partition_order
+    start = 0
+    for p in range(n_parts):
+        n = per - (order if p == 0 else 0)
+        part = resid[start : start + n]
+        start += n
+        param = _flac_rice_param(part)
+        zig = [(v << 1) if v >= 0 else ((-v << 1) - 1) for v in part]
+        if param > 14 or (zig and max(zig) >> param > 4096):
+            raw = max(v.bit_length() for v in part) + 1 if part else 1
+            raw = min(raw, 31)
+            w.write(15, 4)  # escape
+            w.write(raw, 5)
+            for v in part:
+                w.write(v, raw)
+        else:
+            w.write(param, 4)
+            for z in zig:
+                w.write_unary(z >> param)
+                w.write(z, param)
+
+
+def flac_bytes(
+    samples,
+    sr_hz: int,
+    blocksize: int = 4096,
+    stereo_mode: str = "independent",
+    partition_order: int = 0,
+) -> bytes:
+    """int16 samples (n,) or (n, 2) -> real FLAC bytes: fLaC magic,
+    STREAMINFO, fixed-blocksize frames (16-bit blocksize-at-end header
+    form, sample rate from STREAMINFO), FIXED(2)/CONSTANT/VERBATIM
+    subframes with Rice residuals, proper CRC-8/CRC-16. stereo_mode
+    "leftside" exercises the decorrelated path (side = left - right,
+    bps+1)."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    if n == 0 or ch not in (1, 2):
+        raise ValueError("independent flac: need (n,) or (n, 2) samples")
+    if x.min() < -(1 << 15) or x.max() >= (1 << 15):
+        raise ValueError("independent flac: samples exceed int16")
+
+    out = bytearray(b"fLaC")
+    info = bytearray()
+    info += blocksize.to_bytes(2, "big") * 2  # min = max blocksize
+    info += b"\x00\x00\x00" * 2  # frame sizes unknown
+    packed = (sr_hz << 44) | ((ch - 1) << 41) | ((16 - 1) << 36) | n
+    info += packed.to_bytes(8, "big")
+    info += b"\x00" * 16  # md5 unset (legal: unknown)
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + info  # last block
+
+    for f_idx, top in enumerate(range(0, n, blocksize)):
+        chunk = x[top : top + blocksize]
+        bs = chunk.shape[0]
+        w = _FlacBitWriter()
+        w.write(0x3FFE, 14)
+        w.write(0, 1)  # reserved
+        w.write(0, 1)  # fixed blocksize strategy
+        w.write(7, 4)  # blocksize: 16-bit value at end
+        w.write(0, 4)  # sample rate from STREAMINFO
+        if ch == 2 and stereo_mode == "leftside":
+            w.write(8, 4)
+        else:
+            w.write(ch - 1, 4)
+        w.write(0b100, 3)  # 16-bit samples
+        w.write(0, 1)
+        for b in _flac_utf8(f_idx):
+            w.write(b, 8)
+        w.write(bs - 1, 16)
+        w.align()
+        w.out.append(_flac_crc8(bytes(w.out)))
+        if ch == 2 and stereo_mode == "leftside":
+            left = chunk[:, 0].tolist()
+            side = (chunk[:, 0] - chunk[:, 1]).tolist()
+            _flac_write_subframe(w, left, 16, partition_order)
+            _flac_write_subframe(w, side, 17, partition_order)
+        else:
+            for c in range(ch):
+                _flac_write_subframe(w, chunk[:, c].tolist(), 16, partition_order)
+        w.align()
+        frame = bytes(w.out)
+        out += frame + _flac_crc16(frame).to_bytes(2, "big")
+    return bytes(out)
+
+
+def decode_flac_independent(buf: bytes):
+    """Real-FLAC decode, second implementation: closure-based scalar bit
+    reader, per-sample Python loops, table-driven CRCs. Returns
+    (int16 ndarray [n, ch], sr)."""
+    if buf[:4] != b"fLaC":
+        raise ValueError("independent flac: bad magic")
+    pos = 4
+    info = None
+    while True:
+        head = buf[pos]
+        ln = int.from_bytes(buf[pos + 1 : pos + 4], "big")
+        if head & 0x7F == 0:
+            info = buf[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+        if head & 0x80:
+            break
+    if info is None or len(info) < 34:
+        raise ValueError("independent flac: no STREAMINFO")
+    packed = int.from_bytes(info[10:18], "big")
+    sr = packed >> 44
+    ch = ((packed >> 41) & 7) + 1
+    bps = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if bps != 16:
+        raise ValueError("independent flac: 16-bit only")
+
+    state = {"pos": pos, "acc": 0, "n": 0}
+
+    def rd(nb: int) -> int:
+        while state["n"] < nb:
+            if state["pos"] >= len(buf):
+                raise ValueError("independent flac: truncated")
+            state["acc"] = (state["acc"] << 8) | buf[state["pos"]]
+            state["pos"] += 1
+            state["n"] += 8
+        state["n"] -= nb
+        v = (state["acc"] >> state["n"]) & ((1 << nb) - 1)
+        state["acc"] &= (1 << state["n"]) - 1
+        return v
+
+    def rds(nb: int) -> int:
+        v = rd(nb)
+        return v - (1 << nb) if v >= (1 << (nb - 1)) else v
+
+    def unary() -> int:
+        q = 0
+        while rd(1) == 0:
+            q += 1
+        return q
+
+    def residual(bs: int, order: int) -> list[int]:
+        meth = rd(2)
+        pb = 4 if meth == 0 else 5
+        po = rd(4)
+        if bs % (1 << po) or (po > 0 and (bs >> po) < order):
+            raise ValueError("independent flac: illegal partition order")
+        vals: list[int] = []
+        for p in range(1 << po):
+            cnt = (bs >> po) - (order if p == 0 else 0)
+            prm = rd(pb)
+            if prm == (1 << pb) - 1:
+                raw = rd(5)
+                vals += [rds(raw) if raw else 0 for _ in range(cnt)]
+            else:
+                for _ in range(cnt):
+                    z = (unary() << prm) | rd(prm)
+                    vals.append((z >> 1) ^ -(z & 1))
+        return vals
+
+    def subframe(bs: int, w_bps: int) -> list[int]:
+        rd(1)
+        t = rd(6)
+        wasted = 0
+        if rd(1):
+            wasted = 1 + unary()
+            w_bps -= wasted
+        if t == 0:
+            s = [rds(w_bps)] * bs
+        elif t == 1:
+            s = [rds(w_bps) for _ in range(bs)]
+        elif 8 <= t <= 12:
+            o = t - 8
+            s = [rds(w_bps) for _ in range(o)]
+            co = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}[o]
+            for r in residual(bs, o):
+                s.append(r + sum(c * s[-1 - j] for j, c in enumerate(co)))
+        elif t >= 32:
+            o = t - 31
+            s = [rds(w_bps) for _ in range(o)]
+            prec = rd(4) + 1
+            shift = rds(5)
+            co = [rds(prec) for _ in range(o)]
+            for r in residual(bs, o):
+                s.append(r + (sum(c * s[-1 - j] for j, c in enumerate(co)) >> shift))
+        else:
+            raise ValueError("independent flac: reserved subframe")
+        return [v << wasted for v in s] if wasted else s
+
+    chans: list[list[int]] = [[] for _ in range(ch)]
+    done = 0
+    while done < total:
+        start = state["pos"]
+        if state["n"]:
+            raise ValueError("independent flac: misaligned frame")
+        if rd(14) != 0x3FFE or rd(1) or rd(1):
+            raise ValueError("independent flac: bad frame header")
+        bsc, src_, chc, ssc = rd(4), rd(4), rd(4), rd(3)
+        rd(1)
+        b0 = rd(8)  # coded frame number (our encoder stays within 7 bits
+        if b0 >= 0x80:  # until frame 128; handle multi-byte too)
+            nf = 0
+            m = 0x40
+            while b0 & m:
+                nf += 1
+                m >>= 1
+            for _ in range(nf):
+                rd(8)
+        if bsc == 6:
+            bs = rd(8) + 1
+        elif bsc == 7:
+            bs = rd(16) + 1
+        else:
+            bs = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                  8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                  13: 8192, 14: 16384, 15: 32768}[bsc]
+        if src_ == 12:
+            rd(8)
+        elif src_ in (13, 14):
+            rd(16)
+        if _flac_crc8(buf[start : state["pos"]]) != rd(8):
+            raise ValueError("independent flac: header CRC")
+        if ssc != 0b100:
+            raise ValueError("independent flac: not 16-bit frame")
+        if chc <= 7:
+            subs = [subframe(bs, 16) for _ in range(ch)]
+        elif chc == 8:
+            left = subframe(bs, 16)
+            side = subframe(bs, 17)
+            subs = [left, [a - b for a, b in zip(left, side)]]
+        elif chc == 9:
+            side = subframe(bs, 17)
+            right = subframe(bs, 16)
+            subs = [[a + b for a, b in zip(right, side)], right]
+        elif chc == 10:
+            mid = subframe(bs, 16)
+            side = subframe(bs, 17)
+            l_ = []
+            r_ = []
+            for m_, s_ in zip(mid, side):
+                mm = (m_ << 1) | (s_ & 1)
+                l_.append((mm + s_) >> 1)
+                r_.append((mm - s_) >> 1)
+            subs = [l_, r_]
+        else:
+            raise ValueError("independent flac: channel assignment")
+        state["n"] = 0
+        state["acc"] = 0
+        if _flac_crc16(buf[start : state["pos"]]) != rd(16):
+            raise ValueError("independent flac: frame CRC")
+        take = min(bs, total - done)
+        for c in range(ch):
+            chans[c].extend(subs[c][:take])
+        done += take
+    arr = np.stack([np.asarray(c, dtype=np.int32) for c in chans], axis=1)
+    return arr.astype(np.int16), sr
+
+
 def decode_any_image(buf: bytes) -> np.ndarray:
     """Magic-dispatched independent decode (PPM/PGM/BMP/PNG/JPEG/GIF/TIFF)."""
     if buf[:2] == b"P6":

@@ -1438,3 +1438,62 @@ def with_reverb(
             )
 
     return df.mapInArrow(fn, out_schema)
+
+
+def with_flac_pcm16(df, bytes_col: str = "bytes"):
+    """REAL FLAC decode in ONE mapInArrow pass (round 5): appends
+    ``flac_sr int`` (the rate carried in STREAMINFO), ``n_samples`` and
+    ``pcm16 binary`` (little-endian int16 mono, stereo downmixed by the
+    documented floor-mean, -32768 clamped to -32767 per the F11/F15
+    normalization contract) and drops the payload column in the same
+    pass. Malformed / truncated payloads => NULL columns (F1 semantics).
+    The bitstream walk lives in dataflow_geobeam_spark/flac — from-spec
+    Rice/LPC/CRC decode, no libsndfile."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+
+    from dataflow_geobeam_spark.functions.decode import _binary_views
+
+    keep = [f for f in df.schema.fields if f.name != bytes_col]
+    out_schema = StructType(
+        keep
+        + [
+            StructField("flac_sr", IntegerType()),
+            StructField("n_samples", IntegerType()),
+            StructField("pcm16", BinaryType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        from dataflow_geobeam_spark import codecs
+
+        for batch in batches:
+            names = batch.schema.names
+            bufs = _binary_views(batch.column(names.index(bytes_col)))
+            srs, ns, outs = [], [], []
+            for buf in bufs:
+                try:
+                    pcm, sr = codecs.decode(bytes(buf), "flac")
+                except Exception:  # noqa: BLE001 - decode failure => invalid row
+                    srs.append(None)
+                    ns.append(None)
+                    outs.append(None)
+                    continue
+                q = np.round(np.clip(pcm, -1.0, 1.0) * 32767.0).astype("<i2")
+                srs.append(int(sr))
+                ns.append(int(q.shape[0]))
+                outs.append(q.tobytes())
+            arrays = [batch.column(names.index(nm)) for nm in keep_names]
+            arrays.append(pa.array(srs, type=pa.int32()))
+            arrays.append(pa.array(ns, type=pa.int32()))
+            arrays.append(pa.array(outs, type=pa.binary()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=keep_names + ["flac_sr", "n_samples", "pcm16"]
+            )
+
+    return df.mapInArrow(fn, out_schema)

@@ -942,3 +942,31 @@ def audio_augment_reverb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_samples").cast("long").alias("n_samples"),
         F.md5("rev").alias("rev_md5"),
     )
+
+
+def audio_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC ingest (round 5 — closes the round-4 'real lossy/lossless
+    codec decode' gap for FLAC): scan the real-FLAC fixture table ->
+    from-spec bitstream decode (frames, partitioned Rice, fixed/LPC
+    prediction, left/right/mid-side decorrelation, CRC-8/16 verified;
+    dataflow_geobeam_spark/flac) -> int16 requantize, one mapInArrow
+    pass; truncated payloads drop (F1). The md5 is Catalyst's md5() on
+    the kernel's binary output, so the gate pins every decoded byte.
+
+    Oracle: generation-time golden via the INDEPENDENT per-sample mirror
+    decoder (fixtures/independent.decode_flac_independent) over bytes
+    written by the independent encoder — the engine never touches the
+    fixture at generation time. FLAC is lossless, so both md5s must be
+    bit-exact. Reference precedent: real container decode via native
+    libs, geobeam/io.py:124-127."""
+    from dataflow_geobeam_spark.fixtures.generate import ensure_flac_clips
+    from dataflow_geobeam_spark.functions.audio import with_flac_pcm16
+
+    clips = spark.read.parquet(ensure_flac_clips(sf_dir))
+    dec = with_flac_pcm16(clips).where(F.col("pcm16").isNotNull())
+    return dec.select(
+        "clip_id",
+        F.col("flac_sr").alias("sr_hz"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.md5("pcm16").alias("pcm16_md5"),
+    )

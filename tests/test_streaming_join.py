@@ -150,7 +150,17 @@ def test_stateful_join_resumes_from_checkpoint(spark, fixture_dir, tmp_path):
 
     def run(out_dir, ck, stop_after_batches=None):
         cs, ts = streams()
-        out = sjoin.stateful_join_apply(cs, ts)
+        # Watermark far wider than the fixture's whole ts span: THIS test
+        # pins that buffered state survives kill/restart, so the matched
+        # set must not depend on micro-batch composition. With the usual
+        # tight watermark, a loaded machine can schedule several clips-only
+        # batches first (each file source lists/admits independently),
+        # advancing the union watermark past the early transcripts — they
+        # late-drop and the matched set collapses, which is correct
+        # LATE-DATA semantics (pinned by the watermark tests) but noise
+        # here. A span-wide delay makes every interleaving yield the same
+        # full join.
+        out = sjoin.stateful_join_apply(cs, ts, watermark="365 days")
         q = (
             out.writeStream.format("parquet").outputMode("append")
             .option("path", out_dir)
