@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     # round-5f: blocked edit-similarity join (shared-shingle candidates ->
     # bounded-levenshtein verify, both engines' native edit distance)
     "dedup_edit_distance",
+    # round-5g: REAL FLAC ingest (from-spec bitstream decode, Rice/LPC/CRC)
+    "audio_flac_decode",
 ]
 
 
