@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_match_stream": audio.audio_fp_match_stream,
         "audio_resample_16k": audio.audio_resample_16k,
         "audio_flac_decode": audio.audio_flac_decode,
+        "audio_sniff_decode": audio.audio_sniff_decode,
         "audio_mel_features": audio.audio_mel_features,
         "audio_mfcc": audio.audio_mfcc,
         "audio_pitch": audio.audio_pitch,
@@ -264,11 +265,13 @@ def oracle_sql() -> dict[str, str]:
         ensure_golden_pitch,
         ensure_golden_flac_decode,
         ensure_golden_resample,
+        ensure_golden_sniff_decode,
         ensure_golden_segments,
     )
 
     ensure_golden_resample("/root/testdata/sf0.01")
     ensure_golden_flac_decode("/root/testdata/sf0.01")
+    ensure_golden_sniff_decode("/root/testdata/sf0.01")
     ensure_golden_mel("/root/testdata/sf0.01")
     ensure_golden_mfcc("/root/testdata/sf0.01")
     ensure_golden_pitch("/root/testdata/sf0.01")
@@ -715,6 +718,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_flac_decode": f"""
             SELECT clip_id, sr_hz, n_samples, pcm16_md5
             FROM read_parquet('{FIXTURES_SF01}/golden_flac_decode.parquet')
+        """,
+        "audio_sniff_decode": f"""
+            SELECT clip_id, container, sr_hz, n_samples, pcm16_md5
+            FROM read_parquet('{FIXTURES_SF01}/golden_sniff_decode.parquet')
         """,
         "audio_mel_features": f"""
             SELECT clip_id,

@@ -94,7 +94,9 @@ BENCH_QUERIES = [
     # bounded-levenshtein verify, both engines' native edit distance)
     "dedup_edit_distance",
     # round-5g: REAL FLAC ingest (from-spec bitstream decode, Rice/LPC/CRC)
+    # and label-free mixed-container sniff ingest (wav/flac/aiff/au + stand-ins)
     "audio_flac_decode",
+    "audio_sniff_decode",
 ]
 
 

@@ -190,3 +190,137 @@ def decode(buf: bytes, codec: str) -> tuple[np.ndarray, int]:
             return np.asarray(pcm, dtype=np.float32), int(sr)
         return _decode_fake(b, codec)
     raise ValueError(f"unknown codec: {codec!r}")
+
+
+# ---------------------------------------------------------------------------
+# AIFF + Sun AU (round 5): two more REAL audio containers, parsed from
+# their published specs like RIFF/WAVE above. AIFF stores the sample rate
+# as an 80-bit IEEE 754 extended float inside the COMM chunk (the format's
+# one exotic corner — decoded from the spec here); AU is a plain
+# big-endian header. Together with wav + real FLAC these feed
+# decode_sniffed(), the label-free ingest entry a crawl pipeline needs
+# (crawled bytes carry no codec column).
+# ---------------------------------------------------------------------------
+
+
+def _f80_to_int(buf: bytes) -> int:
+    """80-bit IEEE 754 extended float -> nearest int (AIFF sample rates
+    are small positive integers; reject the rest)."""
+    if len(buf) != 10:
+        raise ValueError("aiff: bad extended float")
+    sign = buf[0] >> 7
+    exponent = ((buf[0] & 0x7F) << 8) | buf[1]
+    mantissa = int.from_bytes(buf[2:10], "big")
+    if sign or exponent == 0x7FFF:
+        raise ValueError("aiff: non-finite or negative sample rate")
+    if exponent == 0 and mantissa == 0:
+        raise ValueError("aiff: zero sample rate")
+    # value = mantissa * 2^(exponent - 16383 - 63); integer-exact for rates
+    shift = exponent - 16383 - 63
+    if shift >= 0:
+        val = mantissa << shift
+    else:
+        val = (mantissa + (1 << (-shift - 1))) >> -shift  # round half up
+    if not 1 <= val <= 10_000_000:
+        raise ValueError("aiff: implausible sample rate")
+    return int(val)
+
+
+def decode_aiff(buf: bytes) -> tuple[np.ndarray, int]:
+    """AIFF (FORM/AIFF, COMM + SSND chunks, big-endian PCM16) ->
+    (float32 mono PCM, sr). Multi-channel is floor-mean downmixed like
+    the FLAC path."""
+    if buf[:4] != b"FORM" or buf[8:12] != b"AIFF":
+        raise ValueError("aiff: bad FORM/AIFF header")
+    pos = 12
+    comm = None
+    ssnd = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "big")
+        body = buf[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("aiff: truncated chunk")
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if comm is None or len(comm) < 18 or ssnd is None:
+        raise ValueError("aiff: missing COMM/SSND")
+    n_channels = int.from_bytes(comm[0:2], "big")
+    n_frames = int.from_bytes(comm[2:6], "big")
+    bits = int.from_bytes(comm[6:8], "big")
+    sr = _f80_to_int(comm[8:18])
+    if bits != 16 or n_channels not in (1, 2):
+        raise ValueError("aiff: only 16-bit mono/stereo supported")
+    offset = int.from_bytes(ssnd[0:4], "big")
+    data = ssnd[8 + offset : 8 + offset + n_frames * n_channels * 2]
+    if len(data) != n_frames * n_channels * 2:
+        raise ValueError("aiff: truncated sample data")
+    samples = np.frombuffer(data, dtype=">i2").astype(np.int64)
+    if n_channels == 2:
+        samples = np.sum(samples.reshape(-1, 2), axis=1) // 2
+    return _int16_to_pcm(samples.astype(np.int16)), sr
+
+
+def decode_au(buf: bytes) -> tuple[np.ndarray, int]:
+    """Sun AU (.snd magic, big-endian header, encoding 3 = 16-bit linear
+    PCM) -> (float32 mono PCM, sr)."""
+    if buf[:4] != b".snd":
+        raise ValueError("au: bad magic")
+    if len(buf) < 24:
+        raise ValueError("au: truncated header")
+    offset = int.from_bytes(buf[4:8], "big")
+    size = int.from_bytes(buf[8:12], "big")
+    encoding = int.from_bytes(buf[12:16], "big")
+    sr = int.from_bytes(buf[16:20], "big")
+    n_channels = int.from_bytes(buf[20:24], "big")
+    if encoding != 3:
+        raise ValueError(f"au: only encoding 3 (16-bit PCM) supported, got {encoding}")
+    if n_channels not in (1, 2) or sr == 0 or offset < 24:
+        raise ValueError("au: bad header fields")
+    if size == 0xFFFFFFFF:  # spec: unknown length marker
+        data = buf[offset:]
+    else:
+        data = buf[offset : offset + size]
+        if len(data) != size:
+            raise ValueError("au: truncated sample data")
+    if len(data) % (2 * n_channels):
+        raise ValueError("au: sample data not frame-aligned")
+    samples = np.frombuffer(data, dtype=">i2").astype(np.int64)
+    if n_channels == 2:
+        samples = np.sum(samples.reshape(-1, 2), axis=1) // 2
+    return _int16_to_pcm(samples.astype(np.int16)), sr
+
+
+def decode_sniffed(buf: bytes) -> tuple[np.ndarray, int, str]:
+    """Label-free decode: sniff the container from magic bytes and decode
+    -> (float32 mono PCM, sr, container). Crawled audio carries no codec
+    column; this is the ingest entry for that case. Covers every REAL
+    container the engine decodes (RIFF/WAVE, FLAC, AIFF, AU) plus the
+    deterministic stand-ins; unknown magic raises ValueError (F1
+    semantics upstream)."""
+    b = bytes(buf)
+    if b[:4] == b"RIFF":
+        pcm, sr = decode_wav(b)
+        return pcm, sr, "wav"
+    if b[:4] == b"fLaC":
+        pcm, sr = decode(b, "flac")
+        return pcm, sr, "flac"
+    if b[:4] == b"FORM" and b[8:12] == b"AIFF":
+        pcm, sr = decode_aiff(b)
+        return pcm, sr, "aiff"
+    if b[:4] == b".snd":
+        pcm, sr = decode_au(b)
+        return pcm, sr, "au"
+    for codec, magic in _FAKE_MAGIC.items():
+        if b[: len(magic)] == magic:
+            try:
+                pcm, sr = _decode_fake(b, codec)
+            except ValueError:
+                raise
+            except Exception as exc:  # noqa: BLE001 - zlib/struct on truncation
+                raise ValueError(f"corrupt {codec} stand-in stream") from exc
+            return pcm, sr, codec
+    raise ValueError(f"unknown audio container (magic {b[:4]!r})")

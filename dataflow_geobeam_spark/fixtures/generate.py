@@ -2017,3 +2017,122 @@ def ensure_golden_flac_decode(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) ->
     )
     _write_table_atomic(tbl, path, compression="zstd")
     return path
+
+
+# ---------------------------------------------------------------------------
+# Label-free mixed-container audio fixture (round 5): crawled audio has no
+# codec column, so the sniff-ingest query decodes by magic alone. Rows
+# cycle EVERY container the engine decodes — real RIFF/WAVE, real FLAC,
+# AIFF (80-bit extended-float rate), Sun AU, and the three deterministic
+# stand-ins — all written by the independent encoders.
+# ---------------------------------------------------------------------------
+
+SNIFF_ROWS_PER_SF = 5600  # sf0.01 -> 56, sf0.1 -> 560
+_SNIFF_CONTAINERS = ("wav", "flac", "aiff", "au", "gbs_flac", "ogg", "mp3")
+
+
+def ensure_sniff_clips(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+    """fixtures/<sf>/mixed_audio.parquet: (clip_id string, bytes binary) —
+    deliberately NO codec column. ~7% rows truncated mid-payload and ~4%
+    pure garbage (no known magic): both must surface as dropped rows."""
+    out_dir = fixtures_dir_for(sf_dir, root)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "mixed_audio.parquet")
+    if os.path.exists(path):
+        return path
+    n_rows = max(56, int(SNIFF_ROWS_PER_SF * sf_from_dir(sf_dir)))
+    ids, bufs = [], []
+    for i in range(n_rows):
+        rng = np.random.default_rng([SEED, 13_000_000 + i])
+        sr = (16000, 22050, 8000, 11025)[i % 4]
+        ns = int(sr * (0.25 + ((i * 29) % 15) / 10.0))
+        pcm16 = _flac_clip_pcm16(i, sr, ns)  # same content regimes
+        container = _SNIFF_CONTAINERS[i % 7]
+        pcm_f = np.clip(pcm16.astype(np.float64) / 32767.0, -1.0, 1.0)
+        if container == "wav":
+            buf = independent.encode_wav(pcm_f, sr)
+        elif container == "flac":
+            buf = independent.flac_bytes(pcm16, sr, blocksize=(1000, 4096)[i % 2])
+        elif container == "aiff":
+            if i % 5 == 1:  # stereo rows exercise the downmix path
+                right = np.round(pcm16.astype(np.float64) * 0.6).astype(np.int16)
+                buf = independent.aiff_bytes(np.stack([pcm16, right], axis=1), sr)
+            else:
+                buf = independent.aiff_bytes(pcm16, sr)
+        elif container == "au":
+            buf = independent.au_bytes(pcm16, sr)
+        else:  # deterministic stand-ins via the independent writer
+            codec = {"gbs_flac": "flac"}.get(container, container)
+            buf = independent.encode_standin(pcm_f, sr, codec)
+        if i % 13 == 6:  # truncated: magic survives, payload does not
+            buf = buf[: max(12, int(len(buf) * 0.55))]
+        elif i % 23 == 10:  # garbage: unknown magic entirely
+            buf = bytes(rng.integers(0, 256, 64, dtype=np.uint8).tobytes())
+        ids.append(f"mx{i:06d}")
+        bufs.append(buf)
+    tbl = pa.Table.from_pydict(
+        {"clip_id": pa.array(ids), "bytes": pa.array(bufs, type=pa.binary())}
+    )
+    _write_table_atomic(tbl, path, compression="zstd")
+    return path
+
+
+def ensure_golden_sniff_decode(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+    """Golden for audio_sniff_decode: per decodable row, (container,
+    sr_hz, n_samples, md5 of the requantized int16 LE mono PCM) — every
+    decode via the INDEPENDENT mirrors (stdlib-wave wav, scalar FLAC /
+    AIFF / AU, stand-in spec decode); truncated + garbage rows excluded
+    like the engine's F1 drop."""
+    import hashlib
+
+    clips_path = ensure_sniff_clips(sf_dir, root)
+    out_dir = fixtures_dir_for(sf_dir, root)
+    path = os.path.join(out_dir, "golden_sniff_decode.parquet")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(clips_path)
+    ids, conts, srs, lens, md5s = [], [], [], [], []
+    for cid, raw in zip(t.column("clip_id").to_pylist(), t.column("bytes").to_pylist()):
+        b = bytes(raw)
+        try:
+            if b[:4] == b"RIFF":
+                cont = "wav"
+                pcm, sr = independent.decode(b, "wav")
+                q = np.round(np.clip(pcm, -1.0, 1.0) * 32767.0).astype("<i2")
+            elif b[:4] == b"fLaC":
+                cont = "flac"
+                s16, sr = independent.decode_flac_independent(b)
+                q = np.maximum(s16[:, 0].astype(np.int64), -32767).astype("<i2")
+            elif b[:4] == b"FORM":
+                cont = "aiff"
+                s16, sr = independent.decode_aiff_independent(b)
+                q = np.maximum(s16.astype(np.int64), -32767).astype("<i2")
+            elif b[:4] == b".snd":
+                cont = "au"
+                s16, sr = independent.decode_au_independent(b)
+                q = np.maximum(s16.astype(np.int64), -32767).astype("<i2")
+            elif b[:8] in (b"GBSFLAC1", b"GBSOGGS1", b"GBSMP3S1"):
+                cont = {b"GBSFLAC1": "flac", b"GBSOGGS1": "ogg", b"GBSMP3S1": "mp3"}[b[:8]]
+                codec = cont
+                pcm, sr = independent.decode_standin(b, codec)
+                q = np.round(np.clip(pcm, -1.0, 1.0) * 32767.0).astype("<i2")
+            else:
+                continue
+        except Exception:  # noqa: BLE001 - any decode failure => dropped row,
+            continue  # mirroring the engine kernel's broad F1 catch
+        ids.append(cid)
+        conts.append(cont)
+        srs.append(int(sr))
+        lens.append(int(q.shape[0]))
+        md5s.append(hashlib.md5(q.tobytes()).hexdigest())
+    tbl = pa.Table.from_pydict(
+        {
+            "clip_id": pa.array(ids),
+            "container": pa.array(conts),
+            "sr_hz": pa.array(srs, type=pa.int32()),
+            "n_samples": pa.array(lens, type=pa.int64()),
+            "pcm16_md5": pa.array(md5s),
+        }
+    )
+    _write_table_atomic(tbl, path, compression="zstd")
+    return path

@@ -2276,3 +2276,134 @@ def augment_reverb(pcm, sr_hz: int, key: int):
     for i in range(n):
         out[i] = y[i] * g
     return out
+
+
+# ---------------------------------------------------------------------------
+# AIFF + Sun AU (round 5): independent from-spec writers + per-sample
+# mirror decoders. AIFF's COMM chunk carries the sample rate as an 80-bit
+# IEEE 754 extended float — encoded here from the definition (exponent /
+# explicit-leading-one mantissa), decoded independently in the engine.
+# ---------------------------------------------------------------------------
+
+
+def _f80_from_int(v: int) -> bytes:
+    """Positive int -> 80-bit IEEE 754 extended float (big-endian)."""
+    if v <= 0:
+        raise ValueError("independent f80: positive values only")
+    nbits = v.bit_length()
+    exponent = 16383 + nbits - 1
+    mantissa = v << (64 - nbits)  # explicit leading one at bit 63
+    return exponent.to_bytes(2, "big") + mantissa.to_bytes(8, "big")
+
+
+def aiff_bytes(samples, sr_hz: int) -> bytes:
+    """int16 (n,) or (n, 2) -> AIFF: FORM/AIFF, COMM (with the 80-bit
+    extended-float rate), SSND with big-endian PCM16."""
+    x = np.asarray(samples, dtype=np.int16)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    comm = (
+        ch.to_bytes(2, "big")
+        + n.to_bytes(4, "big")
+        + (16).to_bytes(2, "big")
+        + _f80_from_int(sr_hz)
+    )
+    data = x.astype(">i2").tobytes()
+    ssnd = (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + data
+    out = bytearray()
+    for cid, body in ((b"COMM", comm), (b"SSND", ssnd)):
+        out += cid + len(body).to_bytes(4, "big") + body
+        if len(body) & 1:
+            out += b"\x00"
+    return b"FORM" + (4 + len(out)).to_bytes(4, "big") + b"AIFF" + bytes(out)
+
+
+def decode_aiff_independent(buf: bytes):
+    """Mirror of codecs.decode_aiff: scalar chunk walk, explicit 80-bit
+    float arithmetic, per-frame downmix loop. Returns (int16 mono, sr)."""
+    if buf[:4] != b"FORM" or buf[8:12] != b"AIFF":
+        raise ValueError("independent aiff: bad header")
+    pos = 12
+    comm = ssnd = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "big")
+        body = buf[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("independent aiff: truncated chunk")
+        if cid == b"COMM":
+            comm = body
+        if cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)
+    if comm is None or ssnd is None:
+        raise ValueError("independent aiff: missing chunks")
+    ch = int.from_bytes(comm[0:2], "big")
+    n = int.from_bytes(comm[2:6], "big")
+    if int.from_bytes(comm[6:8], "big") != 16:
+        raise ValueError("independent aiff: not 16-bit")
+    exp = int.from_bytes(comm[8:10], "big")
+    mant = int.from_bytes(comm[10:18], "big")
+    if exp & 0x8000 or exp == 0x7FFF:
+        raise ValueError("independent aiff: bad rate")
+    shift = (exp & 0x7FFF) - 16383 - 63
+    sr = mant << shift if shift >= 0 else (mant + (1 << (-shift - 1))) >> -shift
+    off = int.from_bytes(ssnd[0:4], "big")
+    raw = ssnd[8 + off : 8 + off + n * ch * 2]
+    if len(raw) != n * ch * 2:
+        raise ValueError("independent aiff: truncated data")
+    mono = []
+    for f in range(n):
+        acc = 0
+        for c in range(ch):
+            o = (f * ch + c) * 2
+            v = (raw[o] << 8) | raw[o + 1]
+            acc += v - 0x10000 if v >= 0x8000 else v
+        mono.append(acc // ch)
+    return np.asarray(mono, dtype=np.int16), int(sr)
+
+
+def au_bytes(samples, sr_hz: int) -> bytes:
+    """int16 (n,) or (n, 2) -> Sun AU (encoding 3, big-endian PCM16)."""
+    x = np.asarray(samples, dtype=np.int16)
+    if x.ndim == 1:
+        x = x[:, None]
+    data = x.astype(">i2").tobytes()
+    header = (
+        b".snd"
+        + (24).to_bytes(4, "big")
+        + len(data).to_bytes(4, "big")
+        + (3).to_bytes(4, "big")
+        + int(sr_hz).to_bytes(4, "big")
+        + int(x.shape[1]).to_bytes(4, "big")
+    )
+    return header + data
+
+
+def decode_au_independent(buf: bytes):
+    """Mirror of codecs.decode_au: scalar header reads + per-frame
+    downmix loop. Returns (int16 mono, sr)."""
+    if buf[:4] != b".snd" or len(buf) < 24:
+        raise ValueError("independent au: bad header")
+    off = int.from_bytes(buf[4:8], "big")
+    size = int.from_bytes(buf[8:12], "big")
+    if int.from_bytes(buf[12:16], "big") != 3:
+        raise ValueError("independent au: not PCM16")
+    sr = int.from_bytes(buf[16:20], "big")
+    ch = int.from_bytes(buf[20:24], "big")
+    raw = buf[off:] if size == 0xFFFFFFFF else buf[off : off + size]
+    if size != 0xFFFFFFFF and len(raw) != size:
+        raise ValueError("independent au: truncated data")
+    if len(raw) % (2 * ch):
+        raise ValueError("independent au: unaligned data")
+    n = len(raw) // (2 * ch)
+    mono = []
+    for f in range(n):
+        acc = 0
+        for c in range(ch):
+            o = (f * ch + c) * 2
+            v = (raw[o] << 8) | raw[o + 1]
+            acc += v - 0x10000 if v >= 0x8000 else v
+        mono.append(acc // ch)
+    return np.asarray(mono, dtype=np.int16), int(sr)

@@ -1497,3 +1497,71 @@ def with_flac_pcm16(df, bytes_col: str = "bytes"):
             )
 
     return df.mapInArrow(fn, out_schema)
+
+
+def with_sniffed_pcm16(df, bytes_col: str = "bytes"):
+    """LABEL-FREE audio ingest (round 5): crawled audio carries no codec
+    column, so this kernel sniffs the container from magic bytes and
+    decodes in one mapInArrow pass — appends ``container string``,
+    ``sniff_sr int``, ``n_samples int`` and ``pcm16 binary`` (requantized
+    int16 LE mono). Real RIFF/WAVE, real FLAC, AIFF, Sun AU and the
+    deterministic stand-in containers all decode (codecs.decode_sniffed);
+    unknown magic / truncated payloads => NULL columns (F1 semantics)."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dataflow_geobeam_spark.functions.decode import _binary_views
+
+    keep = [f for f in df.schema.fields if f.name != bytes_col]
+    out_schema = StructType(
+        keep
+        + [
+            StructField("container", StringType()),
+            StructField("sniff_sr", IntegerType()),
+            StructField("n_samples", IntegerType()),
+            StructField("pcm16", BinaryType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        from dataflow_geobeam_spark import codecs
+
+        for batch in batches:
+            names = batch.schema.names
+            bufs = _binary_views(batch.column(names.index(bytes_col)))
+            conts, srs, ns, outs = [], [], [], []
+            for buf in bufs:
+                try:
+                    pcm, sr, cont = codecs.decode_sniffed(bytes(buf))
+                except Exception:  # noqa: BLE001 - unknown/corrupt => invalid row
+                    conts.append(None)
+                    srs.append(None)
+                    ns.append(None)
+                    outs.append(None)
+                    continue
+                q = np.round(np.clip(pcm, -1.0, 1.0) * 32767.0).astype("<i2")
+                conts.append(cont)
+                srs.append(int(sr))
+                ns.append(int(q.shape[0]))
+                outs.append(q.tobytes())
+            arrays = [batch.column(names.index(nm)) for nm in keep_names]
+            arrays.append(pa.array(conts, type=pa.string()))
+            arrays.append(pa.array(srs, type=pa.int32()))
+            arrays.append(pa.array(ns, type=pa.int32()))
+            arrays.append(pa.array(outs, type=pa.binary()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=keep_names + ["container", "sniff_sr", "n_samples", "pcm16"]
+            )
+
+    return df.mapInArrow(fn, out_schema)

@@ -970,3 +970,30 @@ def audio_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_samples").cast("long").alias("n_samples"),
         F.md5("pcm16").alias("pcm16_md5"),
     )
+
+
+def audio_sniff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-free crawl-audio ingest (round 5): a mixed-container corpus
+    with NO codec column — real RIFF/WAVE, real FLAC, AIFF (80-bit
+    extended-float rates), Sun AU and the stand-in containers — sniffed
+    by magic and decoded in one mapInArrow pass
+    (functions/audio.with_sniffed_pcm16). Truncated and unknown-magic
+    rows drop (F1). This is the validate_crs analog taken to its crawl
+    conclusion: the registry IS the sniffer (reference:
+    geobeam/io.py:597-638).
+
+    Oracle: generation-time golden via the independent mirror decoders
+    (stdlib-wave wav, scalar FLAC/AIFF/AU, stand-in spec) over bytes the
+    independent encoders wrote."""
+    from dataflow_geobeam_spark.fixtures.generate import ensure_sniff_clips
+    from dataflow_geobeam_spark.functions.audio import with_sniffed_pcm16
+
+    clips = spark.read.parquet(ensure_sniff_clips(sf_dir))
+    dec = with_sniffed_pcm16(clips).where(F.col("pcm16").isNotNull())
+    return dec.select(
+        "clip_id",
+        "container",
+        F.col("sniff_sr").alias("sr_hz"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.md5("pcm16").alias("pcm16_md5"),
+    )

@@ -123,3 +123,44 @@ def test_flac_fixture_goldens_agree_with_engine():
         assert np.array_equal(s_eng, s_ind.astype(np.int32))
         n_ok += 1
     assert n_ok >= 40 and n_bad >= 2  # both regimes present in the corpus
+
+
+def test_sniffed_decode_all_containers_and_rejects_garbage():
+    """codecs.decode_sniffed: label-free dispatch across every container
+    the engine decodes; unknown magic and truncation raise ValueError."""
+    from dataflow_geobeam_spark import codecs
+
+    rng = np.random.default_rng(31)
+    pcm16 = _tone(4000, 29)
+    pcm_f = pcm16.astype(np.float64) / 32767.0
+    payloads = {
+        "wav": codecs.encode_wav(pcm_f, 16000),
+        "flac": ind.flac_bytes(pcm16, 16000),
+        "aiff": ind.aiff_bytes(pcm16, 22050),
+        "au": ind.au_bytes(pcm16, 8000),
+        "ogg": ind.encode_standin(pcm_f, 16000, "ogg"),
+        "mp3": ind.encode_standin(pcm_f, 16000, "mp3"),
+    }
+    for want, buf in payloads.items():
+        pcm, sr, cont = codecs.decode_sniffed(buf)
+        assert cont == want
+        assert sr in (8000, 16000, 22050)
+        assert pcm.dtype == np.float32 and pcm.ndim == 1 and len(pcm) > 0
+        with pytest.raises(ValueError):
+            codecs.decode_sniffed(buf[: len(buf) // 3])
+    with pytest.raises(ValueError):
+        codecs.decode_sniffed(bytes(rng.integers(0, 256, 64, dtype=np.uint8)))
+
+
+def test_aiff_extended_float_rates_roundtrip():
+    """The 80-bit extended-float COMM rate must survive encode->decode for
+    every rate the fixtures use plus awkward ones (non-power-of-two,
+    odd)."""
+    from dataflow_geobeam_spark import codecs
+
+    x = _tone(256, 41)
+    for sr in (8000, 11025, 16000, 22050, 44100, 48000, 96000, 12345):
+        buf = ind.aiff_bytes(x, sr)
+        _, got = codecs.decode_aiff(buf)
+        _, got_i = ind.decode_aiff_independent(buf)
+        assert got == sr and got_i == sr
