@@ -164,3 +164,33 @@ def test_aiff_extended_float_rates_roundtrip():
         _, got = codecs.decode_aiff(buf)
         _, got_i = ind.decode_aiff_independent(buf)
         assert got == sr and got_i == sr
+
+
+def test_sniffed_decode_mutation_fuzz_valueerror_only():
+    """decode_sniffed's documented contract: any malformed payload raises
+    ValueError (nothing else escapes to the caller). Mutation fuzz across
+    every container family."""
+    from dataflow_geobeam_spark import codecs
+
+    rng = np.random.default_rng(53)
+    pcm16 = _tone(2000, 47)
+    pcm_f = pcm16.astype(np.float64) / 32767.0
+    payloads = [
+        codecs.encode_wav(pcm_f, 16000),
+        ind.flac_bytes(pcm16, 16000, blocksize=1000),
+        ind.aiff_bytes(pcm16, 22050),
+        ind.au_bytes(pcm16, 8000),
+        ind.encode_standin(pcm_f, 16000, "ogg"),
+    ]
+    for buf in payloads:
+        arr = bytearray(buf)
+        for t in range(250):
+            m = bytearray(arr)
+            for _ in range(int(rng.integers(1, 4))):
+                m[int(rng.integers(0, len(arr)))] = int(rng.integers(0, 256))
+            cut = len(arr) if t % 2 else int(rng.integers(4, len(arr)))
+            try:
+                pcm, sr, cont = codecs.decode_sniffed(bytes(m[:cut]))
+                assert pcm.ndim == 1 and sr > 0 and isinstance(cont, str)
+            except ValueError:
+                pass  # the only permitted failure mode

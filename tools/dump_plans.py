@@ -258,6 +258,19 @@ ANNOTATED = {
         "shingles, and the bounded 3-arg levenshtein inside the join "
         "condition — no cartesian, no UDF."
     ),
+    "audio_flac_decode": (
+        "Real-FLAC ingest: parquet scan pruned to (clip_id, bytes) -> ONE "
+        "MapInArrow (the whole bitstream decode: Rice, LPC, CRC) -> "
+        "null-filter -> JVM-side md5 projection. No shuffle at all — "
+        "ingest decode is embarrassingly parallel across clips, so the "
+        "100 TB knob is executor count."
+    ),
+    "audio_sniff_decode": (
+        "Label-free mixed-container ingest: identical single-MapInArrow "
+        "shape with magic sniffing inside the kernel (no codec column "
+        "exists to dispatch on). Unknown/truncated payloads null out in "
+        "the kernel and drop in the following Catalyst filter."
+    ),
 }
 
 
