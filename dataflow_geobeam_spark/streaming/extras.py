@@ -528,3 +528,51 @@ def pack_greedy_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sniff_ingest_stream(
+    stream_df: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """STREAMING form of the label-free crawl ingest (round 5): each
+    micro-batch of raw (clip_id, bytes) rows — no codec column — runs the
+    magic-sniffing decode kernel (functions/audio.with_sniffed_pcm16:
+    real wav/FLAC/AIFF/AU + stand-ins, truncated/garbage rows null out
+    and drop) and commits (clip_id, container, sr_hz, n_samples,
+    pcm16_md5) through the exactly-once manifest sink. Per-row decode is
+    stateless, so foreachBatch is semantically exact; epoch replay after
+    a kill re-commits the identical rows (idempotent sink protocol).
+
+    Returns the started StreamingQuery; read results back via
+    ``sink.read(spark)``.
+    """
+    from pyspark.sql import functions as F
+
+    from dataflow_geobeam_spark.functions.audio import with_sniffed_pcm16
+
+    def _fn(batch_df: DataFrame, epoch_id: int) -> None:
+        out = (
+            with_sniffed_pcm16(batch_df)
+            .where(F.col("pcm16").isNotNull())
+            .select(
+                "clip_id",
+                "container",
+                F.col("sniff_sr").alias("sr_hz"),
+                F.col("n_samples").cast("long").alias("n_samples"),
+                F.md5("pcm16").alias("pcm16_md5"),
+            )
+        )
+        sink.write_batch(out, epoch_id)
+
+    writer = (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_fn)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="2 seconds")
+    return writer.start()
