@@ -193,3 +193,110 @@ def test_pack_greedy_chunk_law(toks):
         assert chunk >= prev_chunk
         prev_chunk = chunk
         cum += n
+
+
+# ---------------------------------------------------------------------------
+# Round-5 codec laws: every container added this round is LOSSLESS (FLAC,
+# AIFF, AU, GIF, TIFF), so encode -> decode must be the identity for
+# arbitrary inputs, with engine and independent mirror agreeing exactly.
+# ---------------------------------------------------------------------------
+
+samples16 = st.lists(
+    st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=3000
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    samples=samples16,
+    sr=st.sampled_from([8000, 11025, 16000, 44100]),
+    blocksize=st.sampled_from([192, 1000, 4096]),
+    p_order=st.integers(min_value=0, max_value=3),
+)
+def test_flac_roundtrip_is_identity(samples, sr, blocksize, p_order):
+    import numpy as np
+
+    from dataflow_geobeam_spark import flac as F
+    from dataflow_geobeam_spark.fixtures import independent as ind
+
+    x = np.asarray(samples, dtype=np.int16)
+    buf = ind.flac_bytes(x, sr, blocksize=blocksize, partition_order=p_order)
+    eng, sr_e, _ = F.decode_flac(buf)
+    mir, sr_i = ind.decode_flac_independent(buf)
+    assert sr_e == sr_i == sr
+    assert np.array_equal(eng[:, 0], x.astype(np.int32))
+    assert np.array_equal(mir[:, 0], x)
+
+
+@settings(max_examples=25, deadline=None)
+@given(samples=samples16, sr=st.integers(min_value=1, max_value=192000))
+def test_aiff_au_roundtrip_is_identity(samples, sr):
+    import numpy as np
+
+    from dataflow_geobeam_spark import codecs
+    from dataflow_geobeam_spark.fixtures import independent as ind
+
+    x = np.asarray(samples, dtype=np.int16)
+    for enc, dec_e, dec_i in (
+        (ind.aiff_bytes, codecs.decode_aiff, ind.decode_aiff_independent),
+        (ind.au_bytes, codecs.decode_au, ind.decode_au_independent),
+    ):
+        buf = enc(x, sr)
+        pcm, sr_e = dec_e(buf)
+        mir, sr_i = dec_i(buf)
+        assert sr_e == sr_i == sr  # incl. the AIFF 80-bit float rate
+        assert np.array_equal(mir, x)
+        want = np.maximum(x.astype(np.float32), np.float32(-32767.0)) / np.float32(32767.0)
+        assert np.array_equal(pcm, want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    n_colors=st.integers(min_value=1, max_value=256),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_gif_roundtrip_is_identity(h, w, n_colors, interlace, seed):
+    import numpy as np
+
+    from dataflow_geobeam_spark.fixtures import independent as ind
+    from dataflow_geobeam_spark.functions import imaging as eng
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, n_colors, (h, w))]
+    buf = ind.gif_bytes(img, interlace=interlace)
+    d_e = eng.decode_gif(buf)
+    d_i = ind.decode_gif_image(buf)
+    # palette may collapse duplicate colors; pixel VALUES must round-trip
+    assert np.array_equal(d_e, img)
+    assert np.array_equal(d_i, img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    gray=st.booleans(),
+    packbits=st.booleans(),
+    big_endian=st.booleans(),
+    rps=st.sampled_from([1, 3, 1000]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_tiff_roundtrip_is_identity(h, w, gray, packbits, big_endian, rps, seed):
+    import numpy as np
+
+    from dataflow_geobeam_spark.fixtures import independent as ind
+    from dataflow_geobeam_spark.functions import imaging as eng
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    if gray:
+        img = np.repeat(img[:, :, :1], 3, axis=2)
+    buf = ind.tiff_bytes(
+        img, gray=gray, packbits=packbits, big_endian=big_endian, rows_per_strip=rps
+    )
+    assert np.array_equal(eng.decode_tiff(buf), img)
+    assert np.array_equal(ind.decode_tiff_image(buf), img)
