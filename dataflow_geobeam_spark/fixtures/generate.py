@@ -1976,7 +1976,11 @@ def ensure_flac_clips(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
             "sr_hz": pa.array(srs, type=pa.int32()),
         }
     )
-    _write_table_atomic(tbl, path, compression="zstd")
+    # bounded row groups: the row group is the scan-split unit, and this
+    # decode is the most expensive per-row kernel in the engine — one
+    # whole-table group would serialize it onto a single core (caught at
+    # sf0.1: 31.6 s on one task vs ~2 s split)
+    _write_table_atomic(tbl, path, compression="zstd", row_group_size=16)
     return path
 
 
@@ -2073,7 +2077,8 @@ def ensure_sniff_clips(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
     tbl = pa.Table.from_pydict(
         {"clip_id": pa.array(ids), "bytes": pa.array(bufs, type=pa.binary())}
     )
-    _write_table_atomic(tbl, path, compression="zstd")
+    # bounded row groups, same scan-split reasoning as ensure_flac_clips
+    _write_table_atomic(tbl, path, compression="zstd", row_group_size=16)
     return path
 
 

@@ -963,6 +963,16 @@ def audio_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataflow_geobeam_spark.functions.audio import with_flac_pcm16
 
     clips = spark.read.parquet(ensure_flac_clips(sf_dir))
+    # FLAC decode is the most CPU-expensive per-row kernel in the engine
+    # (~65 ms/clip); when the corpus is a handful of small files the scan
+    # yields fewer splits than cores and one task serializes the whole
+    # decode (caught at sf0.1: 31.6 s single-task vs ~2 s spread). One
+    # cheap round-robin exchange of the raw bytes fixes that; at
+    # production shard sizes the scan splits natively and this branch
+    # never fires.
+    par = spark.sparkContext.defaultParallelism
+    if clips.rdd.getNumPartitions() < par:
+        clips = clips.repartition(par)
     dec = with_flac_pcm16(clips).where(F.col("pcm16").isNotNull())
     return dec.select(
         "clip_id",
@@ -989,6 +999,9 @@ def audio_sniff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataflow_geobeam_spark.functions.audio import with_sniffed_pcm16
 
     clips = spark.read.parquet(ensure_sniff_clips(sf_dir))
+    par = spark.sparkContext.defaultParallelism
+    if clips.rdd.getNumPartitions() < par:  # same reasoning as audio_flac_decode
+        clips = clips.repartition(par)
     dec = with_sniffed_pcm16(clips).where(F.col("pcm16").isNotNull())
     return dec.select(
         "clip_id",
