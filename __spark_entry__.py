@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample_16k": audio.audio_resample_16k,
         "audio_flac_decode": audio.audio_flac_decode,
         "audio_sniff_decode": audio.audio_sniff_decode,
+        "video_block_index": training_data.video_block_index,
         "audio_mel_features": audio.audio_mel_features,
         "audio_mfcc": audio.audio_mfcc,
         "audio_pitch": audio.audio_pitch,
@@ -272,6 +273,9 @@ def oracle_sql() -> dict[str, str]:
     ensure_golden_resample("/root/testdata/sf0.01")
     ensure_golden_flac_decode("/root/testdata/sf0.01")
     ensure_golden_sniff_decode("/root/testdata/sf0.01")
+    from dataflow_geobeam_spark.fixtures.generate import ensure_golden_video_blocks
+
+    ensure_golden_video_blocks("/root/testdata/sf0.01")
     ensure_golden_mel("/root/testdata/sf0.01")
     ensure_golden_mfcc("/root/testdata/sf0.01")
     ensure_golden_pitch("/root/testdata/sf0.01")
@@ -722,6 +726,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_sniff_decode": f"""
             SELECT clip_id, container, sr_hz, n_samples, pcm16_md5
             FROM read_parquet('{FIXTURES_SF01}/golden_sniff_decode.parquet')
+        """,
+        "video_block_index": f"""
+            SELECT video_id, track_number, codec_id, ts_ms, keyframe, block_bytes
+            FROM read_parquet('{FIXTURES_SF01}/golden_video_blocks.parquet')
         """,
         "audio_mel_features": f"""
             SELECT clip_id,

@@ -2141,3 +2141,98 @@ def ensure_golden_sniff_decode(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -
     )
     _write_table_atomic(tbl, path, compression="zstd")
     return path
+
+
+# ---------------------------------------------------------------------------
+# WebM video fixture (round 5): minimal-but-valid EBML/WebM files written
+# by the independent encoder; block payloads are deterministic fake frame
+# bytes (no pixel codec in this sandbox — the parsers never look inside).
+# ---------------------------------------------------------------------------
+
+VIDEO_ROWS_PER_SF = 4000  # sf0.01 -> 40, sf0.1 -> 400
+
+
+def ensure_video_clips(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+    """fixtures/<sf>/videos.parquet: (video_id string, bytes binary) —
+    WebM files cycling 1-2 tracks (VP8/VP9), timestamp scale 1 ms / 0.5
+    ms, known- and unknown-size Segments, 2-6 clusters x 3-9 blocks with
+    a keyframe-every-4 cadence; ~8% truncated mid-cluster."""
+    out_dir = fixtures_dir_for(sf_dir, root)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "videos.parquet")
+    if os.path.exists(path):
+        return path
+    n_rows = max(40, int(VIDEO_ROWS_PER_SF * sf_from_dir(sf_dir)))
+    ids, bufs = [], []
+    for i in range(n_rows):
+        rng = np.random.default_rng([SEED, 14_000_000 + i])
+        n_tracks = 1 + (i % 2)
+        tracks = [(t + 1, ("V_VP8", "V_VP9")[(i + t) % 2]) for t in range(n_tracks)]
+        scale = (1_000_000, 500_000)[(i // 2) % 2]
+        clusters = []
+        n_clusters = 2 + int(rng.integers(0, 5))
+        for c in range(n_clusters):
+            blocks = []
+            for b in range(3 + int(rng.integers(0, 7))):
+                payload = rng.integers(
+                    0, 256, int(rng.integers(40, 900)), dtype=np.uint8
+                ).tobytes()
+                blocks.append(
+                    (
+                        1 + (b % n_tracks),
+                        b * 33 + int(rng.integers(-4, 5)),
+                        b % 4 == 0,
+                        bytes(payload),
+                    )
+                )
+            clusters.append((c * 1000, blocks))
+        buf = independent.webm_bytes(
+            tracks, clusters, timestamp_scale=scale,
+            unknown_segment_size=(i % 5 == 3),
+        )
+        if i % 12 == 7:  # truncate mid-cluster; EBML magic survives
+            buf = buf[: max(30, int(len(buf) * 0.5))]
+        ids.append(f"vid{i:06d}")
+        bufs.append(buf)
+    tbl = pa.Table.from_pydict(
+        {"video_id": pa.array(ids), "bytes": pa.array(bufs, type=pa.binary())}
+    )
+    _write_table_atomic(tbl, path, compression="zstd", row_group_size=16)
+    return path
+
+
+def ensure_golden_video_blocks(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
+    """Golden for the video_block_index driver query: per parseable video,
+    every block's (track, codec, ts_ms, keyframe, size) via the
+    INDEPENDENT recursive-descent parser; truncated rows excluded (F1)."""
+    clips_path = ensure_video_clips(sf_dir, root)
+    out_dir = fixtures_dir_for(sf_dir, root)
+    path = os.path.join(out_dir, "golden_video_blocks.parquet")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(clips_path)
+    vid, trk, cod, tss, kfs, szs = [], [], [], [], [], []
+    for v, raw in zip(t.column("video_id").to_pylist(), t.column("bytes").to_pylist()):
+        try:
+            tracks, blocks = independent.parse_webm_blocks_independent(bytes(raw))
+        except ValueError:
+            continue
+        for b in blocks:
+            vid.append(v)
+            trk.append(b["track"])
+            cod.append(tracks[b["track"]])
+            tss.append(b["ts_ms"])
+            kfs.append(b["keyframe"])
+            szs.append(b["size"])
+    tbl = pa.Table.from_pydict(
+        {
+            "video_id": pa.array(vid),
+            "track_number": pa.array(trk, type=pa.int32()),
+            "codec_id": pa.array(cod),
+            "ts_ms": pa.array(tss, type=pa.int64()),
+            "keyframe": pa.array(kfs, type=pa.bool_()),
+            "block_bytes": pa.array(szs, type=pa.int64()),
+        }
+    )
+    _write_table_atomic(tbl, path, compression="zstd")
+    return path

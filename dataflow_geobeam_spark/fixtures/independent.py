@@ -2407,3 +2407,229 @@ def decode_au_independent(buf: bytes):
             acc += v - 0x10000 if v >= 0x8000 else v
         mono.append(acc // ch)
     return np.asarray(mono, dtype=np.int16), int(sr)
+
+
+# ---------------------------------------------------------------------------
+# WebM / EBML (round 5): independent writer + recursive-descent mirror of
+# functions/ebml.parse_webm_blocks. Only container metadata — the block
+# payloads are deterministic fake frame bytes (no pixel codec exists in
+# this sandbox, and the engine's parser never looks inside them).
+# ---------------------------------------------------------------------------
+
+
+def _ebml_size(v: int) -> bytes:
+    """EBML data-size varint (marker bit in the first byte)."""
+    for n in range(1, 9):
+        if v < (1 << (7 * n)) - 1:  # all-ones is the unknown-size marker
+            out = v | (1 << (7 * n))
+            return out.to_bytes(n, "big")
+    raise ValueError("independent ebml: size too large")
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    id_len = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(id_len, "big") + _ebml_size(len(body)) + body
+
+
+def _ebml_uint(v: int) -> bytes:
+    n = max(1, (v.bit_length() + 7) // 8)
+    return v.to_bytes(n, "big")
+
+
+def webm_bytes(
+    tracks: list[tuple[int, str]],
+    clusters: list[tuple[int, list[tuple[int, int, bool, bytes]]]],
+    timestamp_scale: int = 1_000_000,
+    unknown_segment_size: bool = False,
+) -> bytes:
+    """Minimal-but-valid WebM: EBML header (DocType webm), Segment with
+    Info(TimestampScale), Tracks(TrackEntry: number/type/CodecID) and
+    Clusters(Timestamp + no-lacing SimpleBlocks).
+
+    ``tracks`` = [(number, codec_id)]; ``clusters`` =
+    [(cluster_ts, [(track, rel_ts, keyframe, payload)])]."""
+    header = _ebml_el(
+        0x1A45DFA3,
+        _ebml_el(0x4286, _ebml_uint(1))          # EBMLVersion
+        + _ebml_el(0x42F7, _ebml_uint(1))        # EBMLReadVersion
+        + _ebml_el(0x42F2, _ebml_uint(4))        # EBMLMaxIDLength
+        + _ebml_el(0x42F3, _ebml_uint(8))        # EBMLMaxSizeLength
+        + _ebml_el(0x4282, b"webm")              # DocType
+        + _ebml_el(0x4287, _ebml_uint(2))        # DocTypeVersion
+        + _ebml_el(0x4285, _ebml_uint(2)),       # DocTypeReadVersion
+    )
+    info = _ebml_el(0x1549A966, _ebml_el(0x2AD7B1, _ebml_uint(timestamp_scale)))
+    entries = b""
+    for num, codec in tracks:
+        entries += _ebml_el(
+            0xAE,
+            _ebml_el(0xD7, _ebml_uint(num))
+            + _ebml_el(0x83, _ebml_uint(1))      # TrackType: video
+            + _ebml_el(0x86, codec.encode("ascii")),
+        )
+    tracks_el = _ebml_el(0x1654AE6B, entries)
+    clusters_el = b""
+    for cts, blocks in clusters:
+        body = _ebml_el(0xE7, _ebml_uint(cts))
+        for track, rel, key, payload in blocks:
+            sb = (
+                _ebml_size(track)
+                + int(rel).to_bytes(2, "big", signed=True)
+                + bytes([0x80 if key else 0x00])
+                + payload
+            )
+            body += _ebml_el(0xA3, sb)
+        clusters_el += _ebml_el(0x1F43B675, body)
+    seg_body = info + tracks_el + clusters_el
+    if unknown_segment_size:
+        seg = (0x18538067).to_bytes(4, "big") + b"\xff" + seg_body
+    else:
+        seg = _ebml_el(0x18538067, seg_body)
+    return header + seg
+
+
+def parse_webm_blocks_independent(buf: bytes):
+    """Mirror of functions/ebml.parse_webm_blocks: recursive descent with
+    a cursor closure (the engine uses generator-based child iteration).
+    Returns (tracks dict, blocks list) in the engine's exact shape.
+    Truncation surfaces as ValueError like every other mirror."""
+    try:
+        return _parse_webm_blocks_independent(buf)
+    except IndexError as exc:
+        raise ValueError("independent ebml: truncated payload") from exc
+
+
+def _parse_webm_blocks_independent(buf: bytes):
+    pos = 0
+
+    def read_vint(keep_marker: bool):
+        nonlocal pos
+        b0 = buf[pos]
+        if b0 == 0:
+            raise ValueError("independent ebml: bad varint")
+        n = 1
+        m = 0x80
+        while not b0 & m:
+            n += 1
+            m >>= 1
+        raw = int.from_bytes(buf[pos : pos + n], "big")
+        if pos + n > len(buf):
+            raise ValueError("independent ebml: truncated varint")
+        pos += n
+        if keep_marker:
+            return raw, n
+        val = raw - (1 << (7 * n))
+        if val == (1 << (7 * n)) - 1:
+            return -1, n
+        return val, n
+
+    if buf[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("independent ebml: bad magic")
+    pos = 4
+    hsz, _ = read_vint(False)
+    if hsz < 0 or pos + hsz > len(buf):
+        raise ValueError("independent ebml: bad header")
+    pos += hsz
+    sid, _ = read_vint(True)
+    if sid != 0x18538067:
+        raise ValueError("independent ebml: no Segment")
+    ssz, _ = read_vint(False)
+    seg_end = len(buf) if ssz < 0 else pos + ssz
+    if seg_end > len(buf):
+        raise ValueError("independent ebml: Segment overrun")
+
+    scale = 1_000_000
+    tracks = {}
+    blocks = []
+
+    def walk(end: int, handler) -> None:
+        nonlocal pos
+        while pos < end:
+            eid, _ = read_vint(True)
+            esz, _ = read_vint(False)
+            if esz < 0 or pos + esz > end:
+                raise ValueError("independent ebml: bad child")
+            handler(eid, pos, pos + esz)
+            pos = pos + esz
+
+    def on_segment(eid, s, e):
+        nonlocal scale, pos
+        if eid == 0x1549A966:  # Info
+            save = pos
+            pos = s
+
+            def on_info(i_id, i_s, i_e):
+                nonlocal scale
+                if i_id == 0x2AD7B1:
+                    scale = int.from_bytes(buf[i_s:i_e], "big")
+                    if scale == 0:
+                        raise ValueError("independent ebml: zero scale")
+
+            walk(e, on_info)
+            pos = save
+        elif eid == 0x1654AE6B:  # Tracks
+            save = pos
+            pos = s
+
+            def on_entry(t_id, t_s, t_e):
+                nonlocal pos
+                if t_id != 0xAE:
+                    return
+                save2 = pos
+                pos = t_s
+                num = [None]
+                codec = [""]
+
+                def on_field(f_id, f_s, f_e):
+                    if f_id == 0xD7:
+                        num[0] = int.from_bytes(buf[f_s:f_e], "big")
+                    elif f_id == 0x86:
+                        codec[0] = buf[f_s:f_e].decode("ascii", "replace")
+
+                walk(t_e, on_field)
+                pos = save2
+                if num[0] is None:
+                    raise ValueError("independent ebml: track without number")
+                tracks[num[0]] = codec[0]
+
+            walk(e, on_entry)
+            pos = save
+        elif eid == 0x1F43B675:  # Cluster
+            save = pos
+            pos = s
+            cts = [0]
+
+            def on_block(c_id, c_s, c_e):
+                nonlocal pos
+                if c_id == 0xE7:
+                    cts[0] = int.from_bytes(buf[c_s:c_e], "big")
+                elif c_id == 0xA3:
+                    save2 = pos
+                    pos = c_s
+                    tnum, _ = read_vint(False)
+                    p = pos
+                    pos = save2
+                    if tnum < 0 or p + 3 > c_e:
+                        raise ValueError("independent ebml: bad block")
+                    rel = int.from_bytes(buf[p : p + 2], "big", signed=True)
+                    flags = buf[p + 2]
+                    if flags & 0x06:
+                        raise ValueError("independent ebml: lacing")
+                    if tnum not in tracks:
+                        raise ValueError("independent ebml: undeclared track")
+                    blocks.append(
+                        {
+                            "track": tnum,
+                            "ts_ms": (cts[0] + rel) * scale // 1_000_000,
+                            "keyframe": bool(flags & 0x80),
+                            "size": c_e - (p + 3),
+                        }
+                    )
+
+            walk(e, on_block)
+            pos = save
+
+    walk(seg_end, on_segment)
+    if not tracks:
+        raise ValueError("independent ebml: no tracks")
+    return tracks, blocks

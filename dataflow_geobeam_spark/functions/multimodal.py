@@ -8,19 +8,23 @@ SURVEY.md §1.2).
 What is REAL here (and tested):
 * container sniffing from magic bytes (pure Catalyst on the binary prefix)
 * the mapInPandas/mapInArrow plumbing — schemas, batch shapes, partitioning
-* PPM (P6) / PGM (P5) / 24-bit BMP / 8-bit PNG (round 5 — zlib inflate +
-  all five scanline filters, from the public spec) decode + nearest-
-  neighbor resize + PPM re-encode — pure-Python from-spec codecs in
-  ``functions/imaging.py``, no imaging library needed; golden-gated in
-  the driver contract
+* EVERY still-image container in the sniffer registry decodes from spec
+  (round 5): PPM / PGM / 24-bit BMP / 8-bit PNG (zlib inflate + all five
+  scanline filters) / baseline JPEG (Huffman scan + batched integer
+  IDCT) / GIF (LZW + interlace) / TIFF (IFD walk, strips, PackBits) —
+  pure-Python codecs in ``functions/imaging.py``, no imaging library;
+  golden-gated in the driver contract
+* WebM/EBML container parsing (``functions/ebml.py``): tracks, codec
+  ids, per-block timestamps / keyframe flags / sizes — the metadata a
+  frame-sampling planner keys on, no pixel decode needed
 * a deterministic fake feature extractor (content-hash derived vector) that
   exercises the exact pipeline a real extractor would use
 
-What is STUBBED (this container ships no image/vision libs):
-* JPEG (DCT entropy coding is out of from-spec scope) decode / resize and
-  video frame-sample raise ``NotImplementedError`` behind an import-try
-  gate for PIL — on a cluster with Pillow installed the real path
-  activates with no code change.
+What is STUBBED (this container ships no vision/codec libs):
+* pixel decode INSIDE video blocks (VP8/VP9 entropy-coded pixel data)
+  and exotic containers outside the registry raise
+  ``NotImplementedError`` behind PIL/ffmpeg import-try gates — on a
+  cluster with those libs the real path activates with no code change.
 """
 
 from __future__ import annotations
@@ -315,3 +319,66 @@ def with_sampled_frames(
             )
 
     return in_df.mapInArrow(fn, out_schema)
+
+
+def with_video_block_index(
+    df: DataFrame, bytes_col: str = "bytes", id_col: str = "video_id"
+) -> DataFrame:
+    """1 video row -> N (id, track_number, codec_id, ts_ms, keyframe,
+    block_bytes) rows: REAL from-spec EBML/WebM container parse
+    (functions/ebml.py) in one mapInArrow pass — the metadata layer a
+    frame-sampling planner keys on (pick keyframes nearest the sample
+    grid, budget by block size) without decoding a single pixel. Only
+    the in-block pixel decode remains ffmpeg-gated. Malformed payloads
+    drop (F1 semantics)."""
+    from pyspark.sql.types import BooleanType, IntegerType, LongType, StringType
+
+    from dataflow_geobeam_spark.functions.decode import _binary_views
+    from dataflow_geobeam_spark.functions.ebml import EbmlDecodeError, parse_webm_blocks
+
+    id_field = df.schema[id_col].dataType
+    in_df = df.select(F.col(id_col).alias("_id"), F.col(bytes_col).alias("_bytes"))
+    out_schema = StructType(
+        [
+            StructField("_id", id_field),
+            StructField("track_number", IntegerType()),
+            StructField("codec_id", StringType()),
+            StructField("ts_ms", LongType()),
+            StructField("keyframe", BooleanType()),
+            StructField("block_bytes", LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            bufs = _binary_views(batch.column(1))
+            o_id, o_tr, o_cd, o_ts, o_kf, o_sz = [], [], [], [], [], []
+            for i, b in zip(ids, bufs):
+                if b is None:
+                    continue
+                try:
+                    tracks, blocks = parse_webm_blocks(bytes(b))
+                except EbmlDecodeError:
+                    continue  # malformed container -> dropped row
+                for blk in blocks:
+                    o_id.append(i)
+                    o_tr.append(blk["track"])
+                    o_cd.append(tracks[blk["track"]])
+                    o_ts.append(blk["ts_ms"])
+                    o_kf.append(blk["keyframe"])
+                    o_sz.append(blk["size"])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, type=batch.schema.field(0).type),
+                    pa.array(o_tr, type=pa.int32()),
+                    pa.array(o_cd, type=pa.string()),
+                    pa.array(o_ts, type=pa.int64()),
+                    pa.array(o_kf, type=pa.bool_()),
+                    pa.array(o_sz, type=pa.int64()),
+                ],
+                names=["_id", "track_number", "codec_id", "ts_ms", "keyframe", "block_bytes"],
+            )
+
+    out = in_df.mapInArrow(fn, out_schema)
+    return out.withColumnRenamed("_id", id_col)

