@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     # and label-free mixed-container sniff ingest (wav/flac/aiff/au + stand-ins)
     "audio_flac_decode",
     "audio_sniff_decode",
+    # round-5h: WebM/EBML block indexing (container metadata, no pixel decode)
+    "video_block_index",
 ]
 
 
