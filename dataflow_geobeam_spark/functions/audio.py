@@ -350,32 +350,48 @@ def with_resampled_pcm16(
     bytes_col: str = "bytes",
     codec_col: str = "codec",
     sr_col: str = "sr_hz",
+    digest: bool = False,
 ):
     """Decode + resample to ``target_sr`` + int16-quantize in ONE
     mapInArrow pass: appends ``pcm16`` (binary little-endian int16 per
     the engine's F11/F15 quantization contract: clip to [-1,1], *32767,
     round-half-even) and ``n_samples``; drops the payload column in the
     same pass. Decode failure => NULL pcm16 (F1/make_valid semantics).
+    ``digest=True`` appends ``pcm16_md5`` instead of the bytes — see
+    with_augmented_noise.
 
     This is the sr-normalization stage an ASR training pipeline runs
     before feature extraction — heterogeneous crawl audio in, uniform
     sample rate out."""
+    import hashlib
     from collections.abc import Iterator
 
     import pyarrow as pa
-    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
     from dataflow_geobeam_spark.functions.decode import _binary_views
 
     keep = [f for f in df.schema.fields if f.name != bytes_col]
+    out_field = (
+        StructField("pcm16_md5", StringType())
+        if digest
+        else StructField("pcm16", BinaryType())
+    )
     out_schema = StructType(
         keep
         + [
-            StructField("pcm16", BinaryType()),
+            out_field,
             StructField("n_samples", IntegerType()),
         ]
     )
     keep_names = [f.name for f in keep]
+    out_names = [f.name for f in out_schema.fields]
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
@@ -393,18 +409,17 @@ def with_resampled_pcm16(
                     pcm, _sr = codecs.decode(buf, c)
                     y = resample_linear_np(pcm, sr or _sr, target_sr)
                     q = np.round(np.clip(y, -1.0, 1.0) * 32767.0).astype("<i2")
-                    outs.append(q.tobytes())
+                    raw = q.tobytes()
+                    outs.append(hashlib.md5(raw).hexdigest() if digest else raw)
                     ns.append(q.size)
                 except Exception:  # noqa: BLE001 - decode failure => nulls
                     outs.append(None), ns.append(None)
             arrays = [batch.column(names.index(n)) for n in keep_names]
             arrays += [
-                pa.array(outs, type=pa.binary()),
+                pa.array(outs, type=pa.string() if digest else pa.binary()),
                 pa.array(ns, type=pa.int32()),
             ]
-            yield pa.RecordBatch.from_arrays(
-                arrays, names=keep_names + ["pcm16", "n_samples"]
-            )
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
     return df.mapInArrow(fn, out_schema)
 
@@ -433,11 +448,22 @@ def _mel_to_hz(m):
     return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
 
 
+_MEL_FILTER_CACHE: dict = {}
+
+
 def mel_filters(sr: int = MEL_SR, frame: int = MEL_FRAME, n_mels: int = MEL_N):
     """Triangular mel filterbank weights (HTK mel scale, float64):
     returns (weights (n_mels, n_bins), support [(lo, hi)] per mel).
     Deterministic pure formula — the independent mirror recomputes it
-    with the same numpy elementwise ops (same libm, same ULPs)."""
+    with the same numpy elementwise ops (same libm, same ULPs).
+
+    Round-6: memoized per (sr, frame, n_mels) — the filterbank is a pure
+    constant, and recomputing it per clip was ~15% of the whole MFCC
+    kernel (guide §4.5: heavyweight init once per task, not per row)."""
+    key = (sr, frame, n_mels)
+    hit = _MEL_FILTER_CACHE.get(key)
+    if hit is not None:
+        return hit
     import numpy as np
 
     n_bins = frame // 2 + 1
@@ -453,6 +479,7 @@ def mel_filters(sr: int = MEL_SR, frame: int = MEL_FRAME, n_mels: int = MEL_N):
         w[m] = np.where(tri > 0.0, tri, 0.0)
         nz = np.flatnonzero(w[m])
         support.append((int(nz[0]), int(nz[-1]) + 1) if nz.size else (0, 0))
+    _MEL_FILTER_CACHE[key] = (w, support)
     return w, support
 
 
@@ -480,10 +507,15 @@ def logmel_frames_np(pcm, sr_hz: int):
     logE = np.empty((n_frames, MEL_N))
     for m in range(MEL_N):
         lo, hi = support[m]
-        acc = np.zeros(n_frames)
-        for b in range(lo, hi):  # left-to-right fold per the shared spec
-            acc = acc + w[m, b] * spec[:, b]
-        logE[:, m] = np.log10(acc + MEL_FLOOR)
+        if hi <= lo:
+            logE[:, m] = np.log10(np.zeros(n_frames) + MEL_FLOOR)
+            continue
+        # left-to-right fold per the shared spec, vectorized as a prefix
+        # sum: cumsum is sequential by construction (frame_rms_np
+        # precedent), so the last column IS the foldLeft result — bit-
+        # identical to the per-bin loop it replaces (round-6, measured 2x)
+        prod = spec[:, lo:hi] * w[m, lo:hi]
+        logE[:, m] = np.log10(np.cumsum(prod, axis=1)[:, -1] + MEL_FLOOR)
     return logE
 
 
@@ -499,13 +531,15 @@ def mel_mean_np(pcm, sr_hz: int):
     if logE is None:
         return None
     n_frames = logE.shape[0]
-    mean = np.zeros(MEL_N)
-    for t in range(n_frames):  # left-to-right over frames
-        mean = mean + logE[t]
+    # left-to-right fold over frames via cumsum (sequential by
+    # construction — bit-identical to the per-frame loop it replaces)
+    mean = np.cumsum(logE, axis=0)[-1]
     return mean / float(n_frames)
 
 
 MFCC_N = 13
+
+_DCT_BASIS_CACHE: dict = {}
 
 
 def dct2_basis(n_mfcc: int = MFCC_N, n_mels: int = MEL_N):
@@ -513,12 +547,19 @@ def dct2_basis(n_mfcc: int = MFCC_N, n_mels: int = MEL_N):
     Unnormalized (HTK convention sans lifter). Computed with ONE numpy
     elementwise expression shared verbatim by the independent mirror —
     same libm, same ULPs (the mel_filters precedent); the FOLDS that
-    consume it are what the two implementations structure differently."""
+    consume it are what the two implementations structure differently.
+    Memoized like mel_filters (round-6): a pure constant per shape."""
+    key = (n_mfcc, n_mels)
+    hit = _DCT_BASIS_CACHE.get(key)
+    if hit is not None:
+        return hit
     import numpy as np
 
     m = np.arange(n_mels, dtype=np.float64)
     k = np.arange(n_mfcc, dtype=np.float64)[:, None]
-    return np.cos(np.pi * (m + 0.5) * k / float(n_mels))
+    basis = np.cos(np.pi * (m + 0.5) * k / float(n_mels))
+    _DCT_BASIS_CACHE[key] = basis
+    return basis
 
 
 def mfcc_mean_np(pcm, sr_hz: int):
@@ -535,15 +576,14 @@ def mfcc_mean_np(pcm, sr_hz: int):
         return None
     n_frames = logE.shape[0]
     basis = dct2_basis()
-    c = np.empty((n_frames, MFCC_N))
-    for k in range(MFCC_N):
-        acc = np.zeros(n_frames)
-        for m in range(MEL_N):  # left-to-right fold per the shared spec
-            acc = acc + logE[:, m] * basis[k, m]
-        c[:, k] = acc
-    mean = np.zeros(MFCC_N)
-    for t in range(n_frames):  # left-to-right over frames
-        mean = mean + c[t]
+    # c[t, k] = left-to-right fold over m of logE[t, m] * basis[k, m],
+    # vectorized over (t, k) at once: cumsum along the m axis is the
+    # sequential foldLeft (frame_rms_np precedent), so the last slice is
+    # bit-identical to the per-(k, m) loop it replaces (round-6)
+    prod = logE[:, None, :] * basis[None, :, :]  # (n_frames, MFCC_N, MEL_N)
+    c = np.cumsum(prod, axis=2)[:, :, -1]
+    # mean over frames: the same sequential-fold-via-cumsum trick
+    mean = np.cumsum(c, axis=0)[-1]
     return mean / float(n_frames)
 
 
@@ -631,6 +671,7 @@ def with_speech_segments(
     sr_col: str = "sr_hz",
     frame_ms: int = 100,
     hop_ms: int = 50,
+    digest: bool = False,
 ):
     """Decode -> VAD -> slice -> re-encode in ONE mapInArrow pass: the
     chunking SINK of the ASR prep chain. One input clip yields N output
@@ -646,7 +687,10 @@ def with_speech_segments(
     to the audio_vad/audio_vad_segments gate chain (frame_rms_np) — and
     spans cover samples [a*hop, b*hop + frame). Decode failure or a
     sub-frame clip yields no rows (filter_invalid semantics,
-    SURVEY.md F2)."""
+    SURVEY.md F2). ``digest=True`` emits ``n_bytes`` + ``seg_md5``
+    (Catalyst-identical length/md5 of the wav chunk) instead of the
+    chunk itself — see with_augmented_noise."""
+    import hashlib
     from collections.abc import Iterator
 
     import pyarrow as pa
@@ -660,15 +704,24 @@ def with_speech_segments(
 
     from dataflow_geobeam_spark.functions.decode import _binary_views
 
+    tail_fields = (
+        [
+            StructField("n_bytes", LongType(), False),
+            StructField("seg_md5", StringType(), False),
+        ]
+        if digest
+        else [StructField("seg_bytes", BinaryType(), False)]
+    )
     out_schema = StructType(
         [
             StructField(id_col, StringType(), False),
             StructField("seg_idx", LongType(), False),
             StructField("start_ms", LongType(), False),
             StructField("end_ms", LongType(), False),
-            StructField("seg_bytes", BinaryType(), False),
         ]
+        + tail_fields
     )
+    out_names = [f.name for f in out_schema.fields]
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
@@ -701,16 +754,23 @@ def with_speech_segments(
                     out_a.append(a * hop_ms)
                     out_b.append(b * hop_ms + frame_ms)
                     out_bytes.append(codecs.encode_wav(span, sr))
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(out_id, type=pa.string()),
-                    pa.array(out_seg, type=pa.int64()),
-                    pa.array(out_a, type=pa.int64()),
-                    pa.array(out_b, type=pa.int64()),
-                    pa.array(out_bytes, type=pa.binary()),
-                ],
-                names=[id_col, "seg_idx", "start_ms", "end_ms", "seg_bytes"],
-            )
+            arrays = [
+                pa.array(out_id, type=pa.string()),
+                pa.array(out_seg, type=pa.int64()),
+                pa.array(out_a, type=pa.int64()),
+                pa.array(out_b, type=pa.int64()),
+            ]
+            if digest:
+                arrays.append(pa.array([len(w) for w in out_bytes], type=pa.int64()))
+                arrays.append(
+                    pa.array(
+                        [hashlib.md5(w).hexdigest() for w in out_bytes],
+                        type=pa.string(),
+                    )
+                )
+            else:
+                arrays.append(pa.array(out_bytes, type=pa.binary()))
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
     return df.mapInArrow(fn, out_schema)
 
@@ -941,12 +1001,29 @@ def with_augmented_noise(
     bytes_col: str = "bytes",
     codec_col: str = "codec",
     sr_col: str = "sr_hz",
+    passthrough: tuple = (),
+    digest: bool = False,
 ):
     """Decode -> deterministic noise mix -> RIFF/WAVE re-encode in ONE
     mapInArrow pass: the augmentation stage of an ASR training pipeline
     (each clip gains a reproducible noisy copy keyed by its own id).
-    Output: (clip_id, n_samples, aug) — ``aug`` the augmented PCM16 wav
-    bytes; decode failure yields no row (filter_invalid semantics)."""
+    Output: (clip_id, *passthrough, n_samples, aug) — ``aug`` the
+    augmented PCM16 wav bytes; decode failure yields no row
+    (filter_invalid semantics).
+
+    Round-6 options (guide §2.3 "shuffle keys and metadata instead of
+    payloads" / §4.1 "control how many columns cross the boundary"):
+
+    * ``passthrough`` — input columns copied onto surviving output rows,
+      so a caller that already joined per-clip metadata (e.g. the
+      capstone's ``n_copies``) doesn't need a second join after the
+      kernel.
+    * ``digest=True`` — emit ``aug_md5`` (lowercase-hex md5 of the wav
+      bytes, exactly what Catalyst's ``md5()`` would produce) INSTEAD of
+      the payload: callers that only hash the output stop shipping
+      ~100 KB/row back across Arrow and through the plan.
+    """
+    import hashlib
     import zlib
     from collections.abc import Iterator
 
@@ -961,13 +1038,18 @@ def with_augmented_noise(
 
     from dataflow_geobeam_spark.functions.decode import _binary_views
 
-    out_schema = StructType(
-        [
-            StructField(id_col, StringType(), False),
-            StructField("n_samples", LongType(), False),
-            StructField("aug", BinaryType(), False),
-        ]
+    pass_fields = [df.schema[c] for c in passthrough]
+    out_field = (
+        StructField("aug_md5", StringType(), False)
+        if digest
+        else StructField("aug", BinaryType(), False)
     )
+    out_schema = StructType(
+        [StructField(id_col, StringType(), False)]
+        + pass_fields
+        + [StructField("n_samples", LongType(), False), out_field]
+    )
+    out_names = [f.name for f in out_schema.fields]
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from dataflow_geobeam_spark import codecs
@@ -978,24 +1060,26 @@ def with_augmented_noise(
             ids = batch.column(names.index(id_col)).to_pylist()
             codec_vals = batch.column(names.index(codec_col)).to_pylist()
             sr_vals = batch.column(names.index(sr_col)).to_pylist()
-            out_id, out_n, out_bytes = [], [], []
-            for cid, buf, c, sr in zip(ids, bufs, codec_vals, sr_vals):
+            out_id, out_n, out_payload, keep_idx = [], [], [], []
+            for j, (cid, buf, c, sr) in enumerate(zip(ids, bufs, codec_vals, sr_vals)):
                 try:
                     pcm, _sr = codecs.decode(buf, c)
                 except Exception:  # noqa: BLE001 - decode failure => no row
                     continue
                 mixed = augment_noise_np(pcm, zlib.crc32(cid.encode("utf-8")), snr_db)
+                wav = codecs.encode_wav(mixed, sr or _sr)
                 out_id.append(cid)
                 out_n.append(mixed.shape[0])
-                out_bytes.append(codecs.encode_wav(mixed, sr or _sr))
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(out_id, type=pa.string()),
-                    pa.array(out_n, type=pa.int64()),
-                    pa.array(out_bytes, type=pa.binary()),
-                ],
-                names=[id_col, "n_samples", "aug"],
+                out_payload.append(hashlib.md5(wav).hexdigest() if digest else wav)
+                keep_idx.append(j)
+            take = pa.array(keep_idx, type=pa.int32())
+            arrays = [pa.array(out_id, type=pa.string())]
+            arrays += [batch.column(names.index(c)).take(take) for c in passthrough]
+            arrays.append(pa.array(out_n, type=pa.int64()))
+            arrays.append(
+                pa.array(out_payload, type=pa.string() if digest else pa.binary())
             )
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
     return df.mapInArrow(fn, out_schema)
 
@@ -1024,13 +1108,17 @@ def with_speed_perturb(
     bytes_col: str = "bytes",
     codec_col: str = "codec",
     sr_col: str = "sr_hz",
+    digest: bool = False,
 ):
     """Decode -> speed-perturb at each factor -> RIFF/WAVE PCM16
     re-encode in ONE mapInArrow pass: 1 clip in, len(speeds) augmented
     rows out (the 3x-corpus trick from Kaldi's recipe, minus the 1.0x
     copy the source table already holds). Output: (clip_id, speed,
     n_samples, sp) with ``sp`` the perturbed wav bytes; decode failure
-    yields no rows (filter_invalid semantics)."""
+    yields no rows (filter_invalid semantics). ``digest=True`` emits
+    ``sp_md5`` (Catalyst-identical lowercase-hex md5) instead of the
+    bytes — see with_augmented_noise."""
+    import hashlib
     from collections.abc import Iterator
 
     import pyarrow as pa
@@ -1045,14 +1133,20 @@ def with_speed_perturb(
 
     from dataflow_geobeam_spark.functions.decode import _binary_views
 
+    out_field = (
+        StructField("sp_md5", StringType(), False)
+        if digest
+        else StructField("sp", BinaryType(), False)
+    )
     out_schema = StructType(
         [
             StructField(id_col, StringType(), False),
             StructField("speed", DoubleType(), False),
             StructField("n_samples", LongType(), False),
-            StructField("sp", BinaryType(), False),
+            out_field,
         ]
     )
+    out_names = [f.name for f in out_schema.fields]
     speeds = tuple(float(s) for s in speeds)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -1073,18 +1167,19 @@ def with_speed_perturb(
                 rate = sr or _sr
                 for s in speeds:
                     y = speed_perturb_np(pcm, rate, s)
+                    wav = codecs.encode_wav(y, rate)
                     out_id.append(cid)
                     out_sp.append(s)
                     out_n.append(y.shape[0])
-                    out_bytes.append(codecs.encode_wav(y, rate))
+                    out_bytes.append(hashlib.md5(wav).hexdigest() if digest else wav)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_id, type=pa.string()),
                     pa.array(out_sp, type=pa.float64()),
                     pa.array(out_n, type=pa.int64()),
-                    pa.array(out_bytes, type=pa.binary()),
+                    pa.array(out_bytes, type=pa.string() if digest else pa.binary()),
                 ],
-                names=[id_col, "speed", "n_samples", "sp"],
+                names=out_names,
             )
 
     return df.mapInArrow(fn, out_schema)
@@ -1131,9 +1226,9 @@ def specaugment_means_np(pcm, sr_hz: int, key: int, f_max: int = 4, t_max: int =
     out = logE.copy()
     out[:, f0 : f0 + f_w] = floor
     out[t0 : t0 + t_w, :] = floor
-    mean = np.zeros(n_mels)
-    for t in range(n_frames):  # left-to-right over frames
-        mean = mean + out[t]
+    # left-to-right fold over frames via cumsum (sequential by
+    # construction — bit-identical to the per-frame loop it replaces)
+    mean = np.cumsum(out, axis=0)[-1]
     return f0, f_w, t0, t_w, n_frames, mean / float(n_frames)
 
 
@@ -1258,12 +1353,16 @@ def with_normalized_loudness(
     bytes_col: str = "bytes",
     codec_col: str = "codec",
     sr_col: str = "sr_hz",
+    digest: bool = False,
 ):
     """Decode -> peak-safe RMS normalize -> RIFF/WAVE PCM16 re-encode in
     ONE mapInArrow pass (the gain-prep stage run before feature
     extraction / augmentation so heterogeneous crawl loudness doesn't
     leak into features). Output: (clip_id, n_samples, norm) — ``norm``
-    the normalized wav bytes; decode failure yields no row."""
+    the normalized wav bytes; decode failure yields no row.
+    ``digest=True`` emits ``norm_md5`` instead of the bytes — see
+    with_augmented_noise."""
+    import hashlib
     from collections.abc import Iterator
 
     import pyarrow as pa
@@ -1277,13 +1376,19 @@ def with_normalized_loudness(
 
     from dataflow_geobeam_spark.functions.decode import _binary_views
 
+    out_field = (
+        StructField("norm_md5", StringType(), False)
+        if digest
+        else StructField("norm", BinaryType(), False)
+    )
     out_schema = StructType(
         [
             StructField(id_col, StringType(), False),
             StructField("n_samples", LongType(), False),
-            StructField("norm", BinaryType(), False),
+            out_field,
         ]
     )
+    out_names = [f.name for f in out_schema.fields]
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from dataflow_geobeam_spark import codecs
@@ -1301,16 +1406,17 @@ def with_normalized_loudness(
                 except Exception:  # noqa: BLE001 - decode failure => no row
                     continue
                 y = normalize_loudness_np(pcm, target_rms)
+                wav = codecs.encode_wav(y, sr or _sr)
                 out_id.append(cid)
                 out_n.append(y.shape[0])
-                out_bytes.append(codecs.encode_wav(y, sr or _sr))
+                out_bytes.append(hashlib.md5(wav).hexdigest() if digest else wav)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_id, type=pa.string()),
                     pa.array(out_n, type=pa.int64()),
-                    pa.array(out_bytes, type=pa.binary()),
+                    pa.array(out_bytes, type=pa.string() if digest else pa.binary()),
                 ],
-                names=[id_col, "n_samples", "norm"],
+                names=out_names,
             )
 
     return df.mapInArrow(fn, out_schema)
@@ -1382,10 +1488,14 @@ def with_reverb(
     bytes_col: str = "bytes",
     codec_col: str = "codec",
     sr_col: str = "sr_hz",
+    digest: bool = False,
 ):
     """Decode -> keyed synthetic-RIR convolution -> RIFF/WAVE PCM16
     re-encode in ONE mapInArrow pass. Output: (clip_id, n_samples, rev);
-    decode failure yields no row. Deterministic under task retries."""
+    decode failure yields no row. Deterministic under task retries.
+    ``digest=True`` emits ``rev_md5`` instead of the bytes — see
+    with_augmented_noise."""
+    import hashlib
     import zlib
     from collections.abc import Iterator
 
@@ -1400,13 +1510,19 @@ def with_reverb(
 
     from dataflow_geobeam_spark.functions.decode import _binary_views
 
+    out_field = (
+        StructField("rev_md5", StringType(), False)
+        if digest
+        else StructField("rev", BinaryType(), False)
+    )
     out_schema = StructType(
         [
             StructField(id_col, StringType(), False),
             StructField("n_samples", LongType(), False),
-            StructField("rev", BinaryType(), False),
+            out_field,
         ]
     )
+    out_names = [f.name for f in out_schema.fields]
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from dataflow_geobeam_spark import codecs
@@ -1425,22 +1541,23 @@ def with_reverb(
                     continue
                 rate = sr or _sr
                 y = augment_reverb_np(pcm, rate, zlib.crc32(cid.encode("utf-8")))
+                wav = codecs.encode_wav(y, rate)
                 out_id.append(cid)
                 out_n.append(y.shape[0])
-                out_bytes.append(codecs.encode_wav(y, rate))
+                out_bytes.append(hashlib.md5(wav).hexdigest() if digest else wav)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_id, type=pa.string()),
                     pa.array(out_n, type=pa.int64()),
-                    pa.array(out_bytes, type=pa.binary()),
+                    pa.array(out_bytes, type=pa.string() if digest else pa.binary()),
                 ],
-                names=[id_col, "n_samples", "rev"],
+                names=out_names,
             )
 
     return df.mapInArrow(fn, out_schema)
 
 
-def with_flac_pcm16(df, bytes_col: str = "bytes"):
+def with_flac_pcm16(df, bytes_col: str = "bytes", digest: bool = False):
     """REAL FLAC decode in ONE mapInArrow pass (round 5): appends
     ``flac_sr int`` (the rate carried in STREAMINFO), ``n_samples`` and
     ``pcm16 binary`` (little-endian int16 mono, stereo downmixed by the
@@ -1448,24 +1565,38 @@ def with_flac_pcm16(df, bytes_col: str = "bytes"):
     normalization contract) and drops the payload column in the same
     pass. Malformed / truncated payloads => NULL columns (F1 semantics).
     The bitstream walk lives in dataflow_geobeam_spark/flac — from-spec
-    Rice/LPC/CRC decode, no libsndfile."""
+    Rice/LPC/CRC decode, no libsndfile. ``digest=True`` appends
+    ``pcm16_md5`` instead of the bytes — see with_augmented_noise."""
+    import hashlib
     from collections.abc import Iterator
 
     import pyarrow as pa
-    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
     from dataflow_geobeam_spark.functions.decode import _binary_views
 
     keep = [f for f in df.schema.fields if f.name != bytes_col]
+    out_field = (
+        StructField("pcm16_md5", StringType())
+        if digest
+        else StructField("pcm16", BinaryType())
+    )
     out_schema = StructType(
         keep
         + [
             StructField("flac_sr", IntegerType()),
             StructField("n_samples", IntegerType()),
-            StructField("pcm16", BinaryType()),
+            out_field,
         ]
     )
     keep_names = [f.name for f in keep]
+    out_names = [f.name for f in out_schema.fields]
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
@@ -1485,28 +1616,30 @@ def with_flac_pcm16(df, bytes_col: str = "bytes"):
                     outs.append(None)
                     continue
                 q = np.round(np.clip(pcm, -1.0, 1.0) * 32767.0).astype("<i2")
+                raw = q.tobytes()
                 srs.append(int(sr))
                 ns.append(int(q.shape[0]))
-                outs.append(q.tobytes())
+                outs.append(hashlib.md5(raw).hexdigest() if digest else raw)
             arrays = [batch.column(names.index(nm)) for nm in keep_names]
             arrays.append(pa.array(srs, type=pa.int32()))
             arrays.append(pa.array(ns, type=pa.int32()))
-            arrays.append(pa.array(outs, type=pa.binary()))
-            yield pa.RecordBatch.from_arrays(
-                arrays, names=keep_names + ["flac_sr", "n_samples", "pcm16"]
-            )
+            arrays.append(pa.array(outs, type=pa.string() if digest else pa.binary()))
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
     return df.mapInArrow(fn, out_schema)
 
 
-def with_sniffed_pcm16(df, bytes_col: str = "bytes"):
+def with_sniffed_pcm16(df, bytes_col: str = "bytes", digest: bool = False):
     """LABEL-FREE audio ingest (round 5): crawled audio carries no codec
     column, so this kernel sniffs the container from magic bytes and
     decodes in one mapInArrow pass — appends ``container string``,
     ``sniff_sr int``, ``n_samples int`` and ``pcm16 binary`` (requantized
     int16 LE mono). Real RIFF/WAVE, real FLAC, AIFF, Sun AU and the
     deterministic stand-in containers all decode (codecs.decode_sniffed);
-    unknown magic / truncated payloads => NULL columns (F1 semantics)."""
+    unknown magic / truncated payloads => NULL columns (F1 semantics).
+    ``digest=True`` appends ``pcm16_md5`` instead of the bytes — see
+    with_augmented_noise."""
+    import hashlib
     from collections.abc import Iterator
 
     import pyarrow as pa
@@ -1521,16 +1654,22 @@ def with_sniffed_pcm16(df, bytes_col: str = "bytes"):
     from dataflow_geobeam_spark.functions.decode import _binary_views
 
     keep = [f for f in df.schema.fields if f.name != bytes_col]
+    out_field = (
+        StructField("pcm16_md5", StringType())
+        if digest
+        else StructField("pcm16", BinaryType())
+    )
     out_schema = StructType(
         keep
         + [
             StructField("container", StringType()),
             StructField("sniff_sr", IntegerType()),
             StructField("n_samples", IntegerType()),
-            StructField("pcm16", BinaryType()),
+            out_field,
         ]
     )
     keep_names = [f.name for f in keep]
+    out_names = [f.name for f in out_schema.fields]
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
@@ -1551,17 +1690,16 @@ def with_sniffed_pcm16(df, bytes_col: str = "bytes"):
                     outs.append(None)
                     continue
                 q = np.round(np.clip(pcm, -1.0, 1.0) * 32767.0).astype("<i2")
+                raw = q.tobytes()
                 conts.append(cont)
                 srs.append(int(sr))
                 ns.append(int(q.shape[0]))
-                outs.append(q.tobytes())
+                outs.append(hashlib.md5(raw).hexdigest() if digest else raw)
             arrays = [batch.column(names.index(nm)) for nm in keep_names]
             arrays.append(pa.array(conts, type=pa.string()))
             arrays.append(pa.array(srs, type=pa.int32()))
             arrays.append(pa.array(ns, type=pa.int32()))
-            arrays.append(pa.array(outs, type=pa.binary()))
-            yield pa.RecordBatch.from_arrays(
-                arrays, names=keep_names + ["container", "sniff_sr", "n_samples", "pcm16"]
-            )
+            arrays.append(pa.array(outs, type=pa.string() if digest else pa.binary()))
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
     return df.mapInArrow(fn, out_schema)

@@ -173,9 +173,23 @@ def minhash_lsh_pairs(
     shuffle 2: 16 band rows per id -> self-join per (band, bucket)
     shuffle 3: candidate ids join back to shingle arrays -> exact verify
     """
-    sh = df.select(F.col(id_col).alias("_id"), T.shingles(text_col, n).alias("shingles")).where(
-        F.size("shingles") > 0
-    )
+    # Round-6 (guide §2.5 input skew): the interpreted shingle expression
+    # is the dominant row-local stage, and it is referenced THREE times
+    # (signature path + both verify sides). A small input (one file / one
+    # row group) is ONE scan split, so all three evaluations serialized on
+    # a single task — measured 7.8 s at sf0.1 on local[32] with documents
+    # .parquet being a single-row-group file. Round-robin the (id, text)
+    # base up to the session's parallelism first (the edit_distance_pairs
+    # idiom; self-disables at production split counts), and filter on the
+    # CHEAP token count — {size(tokens) >= n} == {size(shingles) > 0} by
+    # the shingles() definition — so CollapseProject can't inline the
+    # shingle transform into a Filter as well (the with_minhash trap).
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if base.rdd.getNumPartitions() < n_parts:
+        base = base.repartition(n_parts)
+    base = base.where(F.size(T.tokens("_text")) >= n)
+    sh = base.select("_id", T.shingles("_text", n).alias("shingles"))
     buckets = minhash_band_buckets(sh, k, bands, rows)
 
     if max_bucket_size is not None:
@@ -542,11 +556,21 @@ def contamination(
     DuckDB oracles. At extreme gram cardinality swap the string gram for
     xxhash64(gram) on both sides — same plan, 8-byte keys.
     """
-    tr = train.select(F.col(id_col), F.explode(T.shingles(text_col, n)).alias("_g"))
-    ev = (
-        eval_df.select(F.explode(T.shingles(text_col, n)).alias("_g"))
-        .distinct()
-    )
+    # Round-6 (guide §2.5 input skew): same single-split serialization as
+    # minhash_lsh_pairs — the interpreted shingle+explode stage of BOTH
+    # sides otherwise runs on one task when the input is one file / one
+    # row group (documents.parquet at bench scale). Round-robin the
+    # (id, text) projections first; self-disables at production split
+    # counts where the scan already yields >= parallelism splits.
+    n_parts = int(train.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    tr_base = train.select(F.col(id_col), F.col(text_col))
+    if tr_base.rdd.getNumPartitions() < n_parts:
+        tr_base = tr_base.repartition(n_parts)
+    ev_base = eval_df.select(F.col(text_col))
+    if ev_base.rdd.getNumPartitions() < n_parts:
+        ev_base = ev_base.repartition(n_parts)
+    tr = tr_base.select(F.col(id_col), F.explode(T.shingles(text_col, n)).alias("_g"))
+    ev = ev_base.select(F.explode(T.shingles(text_col, n)).alias("_g")).distinct()
     return (
         tr.join(F.broadcast(ev), "_g")
         .groupBy(id_col)

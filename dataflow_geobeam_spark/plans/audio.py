@@ -178,6 +178,15 @@ def pipeline_clean_asr_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     group). Output: one row per surviving clip with its duplicate-group
     size and speaking rate.
 
+    Round-6 (VERDICT #3): ``kept`` — the post-decode, post-rule metric
+    rows (~40 bytes each, no payload) — feeds BOTH the survivors
+    aggregate and the join-back, so without materialization the executed
+    plan decoded the corpus TWICE. ``localCheckpoint(eager=True)`` on the
+    projected ``kept`` pins exactly ONE decode pass (the audio_cmvn /
+    audio_near_dups precedent); at 100 TB this is the explicit
+    metrics-table materialization, guide §8 step 1 (decide on small rows,
+    never re-read the heavy ones).
+
     Oracle: the identical rule SQL in DuckDB over golden_clips.parquet —
     the generation-time INDEPENDENT decode — so the gate crosses decode,
     rules, and dedup at once.
@@ -202,7 +211,7 @@ def pipeline_clean_asr_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("peak6") <= 0.999)
         & (F.length("t_norm") > 0)
         & F.col("chars_per_s").between(0.5, 60.0)
-    )
+    ).select("clip_id", "dur_ms", "t_norm", "chars_per_s").localCheckpoint(eager=True)
     survivors = kept.groupBy("t_norm").agg(
         F.min("clip_id").alias("clip_id"), F.count(F.lit(1)).alias("n_copies")
     )
@@ -403,14 +412,11 @@ def audio_extract_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx = ensure_fixtures(sf_dir)
     ensure_golden_segments(sf_dir)
     df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
-    segs = with_speech_segments(df)
+    # round-6: digest=True — the kernel emits (n_bytes, seg_md5) directly,
+    # Catalyst-identical to length()/md5() on the chunk (guide §2.3)
+    segs = with_speech_segments(df, digest=True)
     return segs.select(
-        "clip_id",
-        "seg_idx",
-        "start_ms",
-        "end_ms",
-        F.length("seg_bytes").cast("long").alias("n_bytes"),
-        F.md5("seg_bytes").alias("seg_md5"),
+        "clip_id", "seg_idx", "start_ms", "end_ms", "n_bytes", "seg_md5"
     )
 
 
@@ -503,10 +509,12 @@ def audio_resample_16k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fx = ensure_fixtures(sf_dir)
     df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
-    rs = with_resampled_pcm16(df, target_sr=16000).where(F.col("pcm16").isNotNull())
-    return rs.select(
-        "clip_id", "n_samples", F.md5("pcm16").alias("pcm16_md5")
+    # round-6: digest=True — the kernel hashes the resampled bytes itself,
+    # so ~100 KB/row never crosses Arrow back into the plan (guide §2.3)
+    rs = with_resampled_pcm16(df, target_sr=16000, digest=True).where(
+        F.col("pcm16_md5").isNotNull()
     )
+    return rs.select("clip_id", "n_samples", "pcm16_md5")
 
 
 def audio_mel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,11 +737,14 @@ def audio_augment_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-5e bench lesson)
     fx = ensure_fixtures(sf_dir)
     df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
-    aug = with_augmented_noise(df)
+    # round-6: the kernel hashes its own output (digest=True) — identical
+    # hex to Catalyst md5(), but ~100 KB/row of wav bytes never cross
+    # Arrow back into the plan (guide §2.3: move metadata, not payloads)
+    aug = with_augmented_noise(df, digest=True)
     return aug.select(
         "clip_id",
         F.col("n_samples").cast("long").alias("n_samples"),
-        F.md5("aug").alias("aug_md5"),
+        "aug_md5",
     )
 
 
@@ -756,12 +767,13 @@ def audio_speed_perturb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audio_augment_noise)
     fx = ensure_fixtures(sf_dir)
     df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
-    aug = with_speed_perturb(df)
+    # round-6: digest=True (see audio_augment_noise)
+    aug = with_speed_perturb(df, digest=True)
     return aug.select(
         "clip_id",
         "speed",
         F.col("n_samples").cast("long").alias("n_samples"),
-        F.md5("sp").alias("aug_md5"),
+        F.col("sp_md5").alias("aug_md5"),
     )
 
 
@@ -870,6 +882,17 @@ def pipeline_build_training_corpus(spark: SparkSession, sf_dir: str) -> DataFram
     bucket-co-located), then ONE augment mapInArrow pass over only the
     kept rows — silence/dup/val/test bytes never reach the augmenter.
 
+    Round-6 (VERDICT #4): the executed round-5 plan decoded the corpus
+    FOUR times — clean's 2x (fixed in pipeline_clean_asr_corpus) times
+    2x here, because ``survivors`` fed both the kept-join and a second
+    join-back after the augment kernel. Now ``survivors`` is
+    localCheckpointed (a tiny id/n_copies table — the guide §8 "plan"
+    frame) and ``n_copies`` rides THROUGH the augment kernel's
+    passthrough columns, so the second join is gone and the whole
+    capstone is ONE metrics decode + ONE augment pass. The kernel also
+    emits the md5 digest directly (``digest=True``) instead of shipping
+    ~100 KB of wav bytes per row back across Arrow just to be hashed.
+
     Oracle: the clean stage's rule SQL over golden_clips + the identical
     split CASE + a join to golden_augment's independent md5s — all three
     stages crossed in one DuckDB query with no engine code involved.
@@ -878,17 +901,27 @@ def pipeline_build_training_corpus(spark: SparkSession, sf_dir: str) -> DataFram
     from dataflow_geobeam_spark.operators.split import split_expr
 
     fx = ensure_fixtures(sf_dir)
-    survivors = pipeline_clean_asr_corpus(spark, sf_dir).where(
-        split_expr(F.col("clip_id")) == "train"
+    survivors = (
+        pipeline_clean_asr_corpus(spark, sf_dir)
+        .where(split_expr(F.col("clip_id")) == "train")
+        .select("clip_id", "n_copies")
+        .localCheckpoint(eager=True)
     )
     clips = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
-    kept = clips.join(survivors.select("clip_id", "n_copies"), "clip_id")
-    aug = with_augmented_noise(kept)
-    return aug.join(survivors.select("clip_id", "n_copies"), "clip_id").select(
+    # EXPLICIT broadcast: the checkpointed survivors frame is a LogicalRDD
+    # leaf whose size statistic is unknown, so the planner would otherwise
+    # pick a sort-merge join and shuffle the PAYLOAD side by clip_id —
+    # exactly the "join sneaks the second shuffle back in" trap of guide
+    # §8.4. Survivors is the small decision table (ids + n_copies); at
+    # 100 TB scale, swap for the bucket-co-located attach if it outgrows
+    # the broadcast cap.
+    kept = clips.join(F.broadcast(survivors), "clip_id")
+    aug = with_augmented_noise(kept, passthrough=("n_copies",), digest=True)
+    return aug.select(
         "clip_id",
         "n_copies",
         F.col("n_samples").cast("long").alias("n_samples"),
-        F.md5("aug").alias("aug_md5"),
+        "aug_md5",
     )
 
 
@@ -909,11 +942,12 @@ def audio_normalize_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fx = ensure_fixtures(sf_dir)
     df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
-    out = with_normalized_loudness(df)
+    # round-6: digest=True (see audio_augment_noise)
+    out = with_normalized_loudness(df, digest=True)
     return out.select(
         "clip_id",
         F.col("n_samples").cast("long").alias("n_samples"),
-        F.md5("norm").alias("norm_md5"),
+        "norm_md5",
     )
 
 
@@ -936,11 +970,12 @@ def audio_augment_reverb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fx = ensure_fixtures(sf_dir)
     df = read_clips(spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"))
-    out = with_reverb(df)
+    # round-6: digest=True (see audio_augment_noise)
+    out = with_reverb(df, digest=True)
     return out.select(
         "clip_id",
         F.col("n_samples").cast("long").alias("n_samples"),
-        F.md5("rev").alias("rev_md5"),
+        "rev_md5",
     )
 
 
@@ -973,12 +1008,13 @@ def audio_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     if clips.rdd.getNumPartitions() < par:
         clips = clips.repartition(par)
-    dec = with_flac_pcm16(clips).where(F.col("pcm16").isNotNull())
+    # round-6: digest=True (see audio_resample_16k)
+    dec = with_flac_pcm16(clips, digest=True).where(F.col("pcm16_md5").isNotNull())
     return dec.select(
         "clip_id",
         F.col("flac_sr").alias("sr_hz"),
         F.col("n_samples").cast("long").alias("n_samples"),
-        F.md5("pcm16").alias("pcm16_md5"),
+        "pcm16_md5",
     )
 
 
@@ -1002,11 +1038,14 @@ def audio_sniff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     if clips.rdd.getNumPartitions() < par:  # same reasoning as audio_flac_decode
         clips = clips.repartition(par)
-    dec = with_sniffed_pcm16(clips).where(F.col("pcm16").isNotNull())
+    # round-6: digest=True (see audio_resample_16k)
+    dec = with_sniffed_pcm16(clips, digest=True).where(
+        F.col("pcm16_md5").isNotNull()
+    )
     return dec.select(
         "clip_id",
         "container",
         F.col("sniff_sr").alias("sr_hz"),
         F.col("n_samples").cast("long").alias("n_samples"),
-        F.md5("pcm16").alias("pcm16_md5"),
+        "pcm16_md5",
     )
