@@ -2107,7 +2107,13 @@ def ensure_golden_sniff_decode(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -
             elif b[:4] == b"fLaC":
                 cont = "flac"
                 s16, sr = independent.decode_flac_independent(b)
-                q = np.maximum(s16[:, 0].astype(np.int64), -32767).astype("<i2")
+                # floor-mean downmix across channels — the engine's sniffed
+                # FLAC contract (round-6 ADVICE fix: the old channel-0 take
+                # matched only because the sniff fixture is mono; identical
+                # output for mono, correct for any future stereo row)
+                s64 = s16.astype(np.int64)
+                mono = np.sum(s64, axis=1) // s64.shape[1]
+                q = np.maximum(mono, -32767).astype("<i2")
             elif b[:4] == b"FORM":
                 cont = "aiff"
                 s16, sr = independent.decode_aiff_independent(b)

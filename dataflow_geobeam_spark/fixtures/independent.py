@@ -2502,7 +2502,7 @@ def parse_webm_blocks_independent(buf: bytes):
 def _parse_webm_blocks_independent(buf: bytes):
     pos = 0
 
-    def read_vint(keep_marker: bool):
+    def read_vint(keep_marker: bool, plain: bool = False):
         nonlocal pos
         b0 = buf[pos]
         if b0 == 0:
@@ -2519,7 +2519,10 @@ def _parse_webm_blocks_independent(buf: bytes):
         if keep_marker:
             return raw, n
         val = raw - (1 << (7 * n))
-        if val == (1 << (7 * n)) - 1:
+        # plain=True: a VALUE vint (block track number) — all-value-bits
+        # is a normal value (127 == 0xFF), never "unknown" (round-6
+        # ADVICE fix, mirrors functions/ebml._read_vint)
+        if not plain and val == (1 << (7 * n)) - 1:
             return -1, n
         return val, n
 
@@ -2606,10 +2609,10 @@ def _parse_webm_blocks_independent(buf: bytes):
                 elif c_id == 0xA3:
                     save2 = pos
                     pos = c_s
-                    tnum, _ = read_vint(False)
+                    tnum, _ = read_vint(False, plain=True)
                     p = pos
                     pos = save2
-                    if tnum < 0 or p + 3 > c_e:
+                    if p + 3 > c_e:
                         raise ValueError("independent ebml: bad block")
                     rel = int.from_bytes(buf[p : p + 2], "big", signed=True)
                     flags = buf[p + 2]

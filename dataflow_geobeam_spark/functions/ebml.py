@@ -86,6 +86,31 @@ def _read_size(buf: bytes, pos: int) -> tuple[int, int]:
     return val, pos + n
 
 
+def _read_vint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Plain EBML vint (no unknown-size special case) — for BLOCK TRACK
+    NUMBERS, which have no unknown semantics in Matroska: an all-value-bits
+    vint like 0xFF is simply the value 127 (round-6 ADVICE fix — the
+    _read_size mapping rejected a valid track 127 as 'unknown')."""
+    if pos >= len(buf):
+        raise EbmlDecodeError("ebml: truncated vint")
+    b0 = buf[pos]
+    if b0 == 0:
+        raise EbmlDecodeError("ebml: invalid vint leading byte")
+    n = 1
+    mask = 0x80
+    while not b0 & mask:
+        n += 1
+        mask >>= 1
+        if n > 8:
+            raise EbmlDecodeError("ebml: vint longer than 8 bytes")
+    if pos + n > len(buf):
+        raise EbmlDecodeError("ebml: truncated vint")
+    val = (b0 & (mask - 1)) if mask > 1 else 0
+    for i in range(1, n):
+        val = (val << 8) | buf[pos + i]
+    return val, pos + n
+
+
 def _uint(body: bytes) -> int:
     if not body or len(body) > 8:
         raise EbmlDecodeError("ebml: bad uint length")
@@ -113,7 +138,13 @@ def parse_webm_blocks(buf: bytes) -> tuple[dict, list[dict]]:
     Returns ``({track_number: codec_id}, [{"track", "ts_ms", "keyframe",
     "size"}, ...])`` with ts_ms = (cluster timestamp + relative) *
     TimestampScale(ns) // 1e6 — the metadata a frame-sampling planner
-    keys on. SimpleBlocks only, no lacing (flags lacing bits must be 0)."""
+    keys on. SimpleBlocks only, no lacing (flags lacing bits must be 0).
+
+    Known limitation (documented per round-6 ADVICE): unknown-size is
+    supported at SEGMENT level only. Unknown-size Clusters — common in
+    live-muxed/streamed WebM — raise EbmlDecodeError and drop the file;
+    handling them requires terminating each cluster at the next top-level
+    element ID, which this index does not yet do."""
     if buf[: len(EBML_MAGIC)] != EBML_MAGIC:
         raise EbmlDecodeError("ebml: bad magic")
     pos = len(EBML_MAGIC)
@@ -158,8 +189,8 @@ def parse_webm_blocks(buf: bytes) -> tuple[dict, list[dict]]:
                 if cid == _CLUSTER_TIMESTAMP:
                     cluster_ts = _uint(buf[c0:c1])
                 elif cid == _SIMPLE_BLOCK:
-                    track, p = _read_size(buf, c0)  # track num: size-coded varint
-                    if track == _UNKNOWN or p + 3 > c1:
+                    track, p = _read_vint(buf, c0)  # plain vint, no unknown case
+                    if p + 3 > c1:
                         raise EbmlDecodeError("ebml: bad SimpleBlock header")
                     rel = int.from_bytes(buf[p : p + 2], "big", signed=True)
                     flags = buf[p + 2]

@@ -388,7 +388,14 @@ class _JpegBits:
                 raise ImageDecodeError("jpeg: entropy segment ended mid-block")
         else:
             self.pos += 1
-        self.bitbuf = (self.bitbuf << 8) | byte
+        # keep the buffer bounded to the live bits (round-6 ADVICE, high):
+        # without the mask the int grows by 8 bits per scan byte and every
+        # shift in read_bit becomes O(consumed bytes) — measured O(n^2)
+        # entropy decode (512px baseline JPEG: 101 s -> ms). Mirrors
+        # flac._Bits' acc mask.
+        self.bitbuf = (
+            (self.bitbuf & ((1 << self.nbits) - 1)) << 8
+        ) | byte
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -426,6 +433,10 @@ def _jpeg_huff_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]
         for _ in range(bits[length - 1]):
             if k >= len(vals):
                 raise ImageDecodeError("jpeg: malformed DHT")
+            if code >= (1 << length):  # Annex C validity: BITS overflows the
+                # code space -> `code` would wrap and alias (length, code)
+                # keys, silently decoding wrong pixels (round-6 ADVICE)
+                raise ImageDecodeError("jpeg: DHT code space overflow")
             table[(length, code)] = vals[k]
             k += 1
             code += 1

@@ -180,15 +180,17 @@ def minhash_lsh_pairs(
     # a single task — measured 7.8 s at sf0.1 on local[32] with documents
     # .parquet being a single-row-group file. Round-robin the (id, text)
     # base up to the session's parallelism first (the edit_distance_pairs
-    # idiom; self-disables at production split counts), and filter on the
-    # CHEAP token count — {size(tokens) >= n} == {size(shingles) > 0} by
-    # the shingles() definition — so CollapseProject can't inline the
-    # shingle transform into a Filter as well (the with_minhash trap).
+    # idiom; self-disables at production split counts). No size filter at
+    # all: explode emits nothing for empty shingle arrays, docs without
+    # shingles get no signature/bucket and can never reach the verify
+    # joins (inner joins from candidate ids), and any filter here —
+    # explicit or optimizer-inferred (see session.py's excludedRules) —
+    # would be pushed into the scan stage and re-evaluate the expression
+    # there, serialized (round-6: 7.8 s -> ~2 s with both fixes).
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     if base.rdd.getNumPartitions() < n_parts:
         base = base.repartition(n_parts)
-    base = base.where(F.size(T.tokens("_text")) >= n)
     sh = base.select("_id", T.shingles("_text", n).alias("shingles"))
     buckets = minhash_band_buckets(sh, k, bands, rows)
 
