@@ -620,8 +620,18 @@ def audio_fp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = read_clips(
         spark, fx, columns=("clip_id", "bytes", "codec", "sr_hz"), with_bucket=False
     )
-    queries = spark.read.parquet(ensure_fp_queries(sf_dir)).select(
-        "query_id", "bytes", "codec", "sr_hz"
+    # Round-6 (guide §2.5 input skew): the snippet table is one file with
+    # ONE parquet row group, so however many byte-range splits the scan
+    # planner makes, only the split holding the row-group midpoint gets
+    # rows — the query-side decode+fingerprint pass serialized on a
+    # single task (~3 s), and because that side feeds the BROADCAST
+    # build, the whole match waited on it before the corpus probe could
+    # start. Round-robin the (small by contract) query side first:
+    # measured 6.5 s -> ~3.5 s for the full match.
+    queries = (
+        spark.read.parquet(ensure_fp_queries(sf_dir))
+        .select("query_id", "bytes", "codec", "sr_hz")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return fp_match_top1(
         with_fingerprints(corpus, bytes_col="bytes"),
