@@ -1598,7 +1598,13 @@ def ensure_fp_queries(sf_dir: str, root: str = DEFAULT_FIXTURES_ROOT) -> str:
             "ts": pa.array(tss, type=pa.timestamp("us")),
         }
     )
-    _write_table_atomic(tbl, path, compression="zstd")
+    # round-6: bounded row groups. A single-row-group file gives Spark one
+    # EFFECTIVE scan split no matter how many byte ranges the planner cuts
+    # (only the range holding the row-group midpoint gets rows), which
+    # serialized the snippet fingerprint pass on one task. 256 rows/group
+    # (~12 MB at ~50 KB payloads) keeps the scan splittable; content is
+    # unchanged — goldens derive from the table values, not the layout.
+    _write_table_atomic(tbl, path, compression="zstd", row_group_size=256)
     return path
 
 
