@@ -299,6 +299,8 @@ def _prefilter_pairs(
     import numpy as np
 
     pdf = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).toPandas()
+    if len(pdf) == 0:
+        return pairs  # empty corpus: nothing to screen against
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
     if mat.ndim != 2 or mat.shape[1] != dim:
         raise ValueError(
@@ -460,7 +462,7 @@ def near_dup_pairs(
     if (
         prefilter == "auto"
         and corpus_n is not None
-        and corpus_n * dim * 8 <= PREFILTER_MAX_BYTES
+        and 0 < corpus_n * dim * 8 <= PREFILTER_MAX_BYTES
         and id_type in ("byte", "short", "integer", "long")
     ):
         # screen BEFORE the distinct: the screen is cheap and vectorized,
